@@ -1,0 +1,171 @@
+"""Typed configuration tree.
+
+The reference scatters constants across use sites; this module collects all of
+them into frozen (hashable → jit-static) dataclasses. Sources:
+
+* camera calibration    — matlab_code/initialize_cam.m:3-11
+* filter noise / motion — matlab_code/mono_slam.m:29-32, initialize_x_and_p.m:4-24,
+                          predict_state_and_covariance.m:5 (delta_t = 1)
+* feature init          — matlab_code/initialize_a_feature.m:4-11,
+                          initialize_features.m:5 (max_attempts = 50)
+* matching              — matlab_code/matching.m:2,16,21-27 (chi2 gate 5.9915,
+                          eig(S) < 100 gate, ±2σ search window)
+* 1-point RANSAC        — matlab_code/ransac_hypotheses.m:3-9 (p = 0.99,
+                          threshold = std_z, 1000 initial hypotheses)
+* map management        — matlab_code/mono_slam.m:39 (min 25 features),
+                          inversedepth_2_cartesian.m:3 (linearity thr 0.1);
+                          the delete rule implements the policy the missing
+                          matlab_code/delete_features.m was meant to apply
+                          (SURVEY.md §2.9): drop a feature once
+                          times_measured < 0.5 * times_predicted after >= 5
+                          predictions.
+* CALC2 hyperparameters — "CALC 2.0"/calc2.py:27-49, utils.py:502-507.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+
+# Motion model identifiers (matlab_code/fv.m:8-47). Static ints so the jitted
+# step can specialize without string comparisons.
+CONSTANT_VELOCITY = 0
+CONSTANT_ORIENTATION = 1
+CONSTANT_POSITION = 2
+CONSTANT_POSITION_AND_ORIENTATION = 3
+
+# State-vector layout: camera block [r(3) q(4) v(3) w(3)] then CAP 6-wide
+# landmark slots (inverse-depth: [x y z theta phi rho]; cartesian: [x y z 0 0 0]).
+CAM_DIM = 13
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Pinhole + 2-parameter radial distortion (initialize_cam.m:3-11)."""
+
+    n_rows: int = 240
+    n_cols: int = 320
+    d: float = 0.0112           # mm / pixel (dx == dy in the reference)
+    cx: float = 1.7945 / 0.0112
+    cy: float = 1.4433 / 0.0112
+    k1: float = 6.333e-2
+    k2: float = 1.390e-2
+    f: float = 2.1735
+    distort_newton_iters: int = 10  # distort_fm.m:28-32
+
+    @property
+    def fku(self) -> float:
+        return self.f / self.d
+
+    @property
+    def fkv(self) -> float:
+        return self.f / self.d
+
+
+@dataclasses.dataclass(frozen=True)
+class FilterConfig:
+    """EKF noise / motion-model settings (mono_slam.m:29-32)."""
+
+    sigma_a: float = 0.007      # linear acceleration noise std
+    sigma_alpha: float = 0.007  # angular acceleration noise std
+    sigma_z: float = 1.0        # image measurement noise std (pixels)
+    motion_model: int = CONSTANT_VELOCITY
+    delta_t: float = 1.0        # predict_state_and_covariance.m:5
+    # initialize_x_and_p.m:4-10
+    v_0: float = 0.0
+    std_v_0: float = 0.025
+    w_0: float = 1e-15
+    std_w_0: float = 0.025
+    eps_pose: float = 2.220446049250313e-16  # MATLAB eps on pose diagonal
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """Fixed-capacity map + management policy."""
+
+    capacity: int = 100                       # landmark slots (BASELINE.json)
+    min_features_in_image: int = 25           # mono_slam.m:39
+    initial_rho: float = 1.0                  # initialize_a_feature.m:10
+    std_rho: float = 1.0                      # initialize_a_feature.m:11
+    linearity_threshold: float = 0.1          # inversedepth_2_cartesian.m:3
+    max_init_attempts: int = 50               # initialize_features.m:5
+    # delete policy (replaces the missing delete_features.m, SURVEY.md §2.9)
+    delete_min_predictions: int = 5
+    delete_measured_ratio: float = 0.5
+    # feature-initialization exclusion geometry (initialize_a_feature.m:4-9)
+    half_patch_init: int = 20
+    half_patch_match: int = 6
+    init_box_w: int = 60
+    init_box_h: int = 40
+
+    @property
+    def state_dim(self) -> int:
+        return CAM_DIM + 6 * self.capacity
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchingConfig:
+    """Individual-compatibility gating (matching.m)."""
+
+    chi2_inv_2_95: float = 5.9915   # matching.m:2
+    max_innovation_eig: float = 100.0  # matching.m:16
+    sigma_search: float = 2.0       # matching.m:21-27 (±2σ window)
+    fov_limit_deg: float = 60.0     # hi_inverse_depth.m:37-43
+
+
+@dataclasses.dataclass(frozen=True)
+class RansacConfig:
+    """1-point RANSAC (ransac_hypotheses.m).
+
+    The reference runs an adaptive sequential loop starting at 1000
+    hypotheses and shrinking via n = log(1-p)/log(1-eps_inlier). On TPU we
+    run a fixed batch of `num_hypotheses` in parallel and take the argmax of
+    support — statistically at least as strong as the adaptive loop whenever
+    num_hypotheses >= the adaptive count, which holds for the operating
+    regime here: with the reference's own termination formula, inlier ratios
+    >= 7% already terminate the loop within 64 iterations
+    (log(0.01)/log(1-0.07) ≈ 63.6) and SLAM association typically runs far
+    above that ratio. See tests/test_ransac.py for the equivalence test.
+    """
+
+    p_at_least_one_spurious_free: float = 0.99  # ransac_hypotheses.m:3
+    num_hypotheses: int = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Synthetic scene generator (replaces the absent image sequence,
+    mono_slam.m:21 / SURVEY.md §2.9)."""
+
+    num_landmarks: int = 72
+    world_radius: float = 4.0
+    depth_min: float = 0.8
+    depth_max: float = 6.0
+    pixel_noise_std: float = 1.0
+    outlier_fraction: float = 0.05
+    outlier_shift_px: float = 30.0
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Top-level config tree."""
+
+    camera: CameraConfig = CameraConfig()
+    filter: FilterConfig = FilterConfig()
+    map: MapConfig = MapConfig()
+    matching: MatchingConfig = MatchingConfig()
+    ransac: RansacConfig = RansacConfig()
+    sim: SimConfig = SimConfig()
+    dtype: str = "float32"   # compute dtype; "float64" for the oracle path
+
+    @property
+    def jnp_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    def replace(self, **kw) -> "EngineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT = EngineConfig()
