@@ -51,10 +51,13 @@ class TestAgainstOracle:
             q_ops.v2q(jnp.zeros(3)), jnp.array([1.0, 0, 0, 0]))
 
     def test_azel_ray(self):
-        th, ph = 0.3, -0.2
-        np.testing.assert_allclose(
-            q_ops.azel_to_ray(jnp.asarray(th), jnp.asarray(ph)),
-            oracle.m_ray(th, ph), rtol=1e-12)
+        th = jnp.asarray([0.3, 1.1])  # batched: see precision note in q_ops
+        ph = jnp.asarray([-0.2, 0.4])
+        got = np.asarray(q_ops.azel_to_ray(th, ph))
+        for i in range(2):
+            np.testing.assert_allclose(
+                got[i], oracle.m_ray(float(th[i]), float(ph[i])), rtol=1e-12,
+                atol=1e-15)
 
     def test_norm_jac(self):
         q = RNG.normal(size=4)
