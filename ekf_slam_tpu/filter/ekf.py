@@ -1,0 +1,131 @@
+"""EKF predict / update over the padded state (L2).
+
+predict: exploits the block-sparse structure of F (only the 13-dim camera
+block is non-identity, predict_state_and_covariance.m:26-27) — the map block
+of P is copied, the camera rows/cols get one (13,D) matmul each.
+
+update: masked dense update. The reference stacks only the inlier rows
+(ekf_update_li_inliers.m:8-16) and inverts S explicitly (update.m:8-9);
+here every one of the 2*CAP candidate rows is always present, with inactive
+rows zeroed in H and the residual and given unit measurement noise, which
+makes S carry an identity block there — the Kalman gain columns for those
+rows are then exactly zero, so the result equals the reference's compact
+update (tests/test_ekf.py::test_masked_update_equals_compact_oracle). The
+gain solve uses Cholesky (S is SPD by construction) instead of inv(S) —
+numerically equivalent for these well-conditioned S and MXU-friendly.
+
+Both quaternion renormalization steps follow update.m:18-24: x_q /= |x_q|
+and the covariance is mapped through the normalization Jacobian (normJac).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ekf_slam_tpu.config import CAM_DIM, FilterConfig
+from ekf_slam_tpu.filter import motion
+from ekf_slam_tpu.ops import quaternion as quat
+
+
+def predict(x: jnp.ndarray, P: jnp.ndarray, cfg: FilterConfig):
+    """EKF time update (predict_state_and_covariance.m:1-27).
+
+    x: (D,), P: (D,D). Returns (x_pred, P_pred).
+    """
+    xv = x[:CAM_DIM]
+    x_pred = jnp.concatenate([motion.fv(xv, cfg), x[CAM_DIM:]])
+
+    F = motion.dfv_by_dxv(xv, cfg)
+    Q = motion.process_noise(xv, cfg)
+
+    # P⁻ = [F P₁₁ Fᵀ + Q , F P₁ₘ ; Pₘ₁ Fᵀ , Pₘₘ]
+    top = F @ P[:CAM_DIM, :]                       # (13, D)
+    top = top.at[:, :CAM_DIM].set(top[:, :CAM_DIM] @ F.T + Q)
+    P_pred = P.at[:CAM_DIM, :].set(top)
+    P_pred = P_pred.at[CAM_DIM:, :CAM_DIM].set(top[:, CAM_DIM:].T)
+    return x_pred, P_pred
+
+
+def update(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray, z: jnp.ndarray,
+           h: jnp.ndarray, row_mask: jnp.ndarray, r_diag: jnp.ndarray):
+    """Masked EKF measurement update (update.m:1-32).
+
+    H: (M, D) dense Jacobian, rows for unused measurements MUST be zero.
+    z, h: (M,) stacked measurements/predictions. row_mask: (M,) bool.
+    r_diag: (M,) measurement noise variances for active rows.
+
+    Returns (x_new, P_new).
+    """
+    dtype = x.dtype
+    mask = row_mask.astype(dtype)
+    H = H * mask[:, None]
+    nu = (z - h) * mask
+    # R: active rows keep their variance; inactive rows get 1.0 so S has an
+    # identity block there (zero Kalman-gain columns, see module docstring).
+    r_eff = jnp.where(row_mask, r_diag, jnp.ones_like(r_diag))
+
+    PHt = P @ H.T                              # (D, M)
+    S = H @ PHt + jnp.diag(r_eff)              # (M, M), SPD
+    chol = jax.lax.linalg.cholesky(S)
+    # K = P Hᵀ S⁻¹ computed as triangular solves: S Kᵀ = (P Hᵀ)ᵀ.
+    Kt = jax.scipy.linalg.cho_solve((chol, True), PHt.T)  # (M, D)
+    x_new = x + Kt.T @ nu
+    # P ← P − K S Kᵀ, then symmetrize (update.m:13-14).
+    P_new = P - Kt.T @ (S @ Kt)
+    P_new = 0.5 * (P_new + P_new.T)
+    return _renormalize_quaternion(x_new, P_new)
+
+
+def _renormalize_quaternion(x: jnp.ndarray, P: jnp.ndarray):
+    """q ← q/|q| with covariance correction P ← T P Tᵀ, T = I except the
+    4x4 normJac block on the quaternion rows/cols (update.m:18-24)."""
+    J = quat.norm_jac(x[3:7])
+    rows = J @ P[3:7, :]                       # (4, D)
+    P = P.at[3:7, :].set(rows)
+    cols = P[:, 3:7] @ J.T                     # (D, 4) — includes the 4x4 block
+    P = P.at[:, 3:7].set(cols)
+    x = x.at[3:7].set(x[3:7] / jnp.linalg.norm(x[3:7]))
+    return x, P
+
+
+def update_iterated(x: jnp.ndarray, P: jnp.ndarray, z: jnp.ndarray,
+                    h_fn, row_mask: jnp.ndarray, r_diag: jnp.ndarray,
+                    num_iters: int = 3):
+    """Iterated EKF (Gauss-Newton) measurement update.
+
+    Implements the intent of the reference's non-functional IEKF path
+    (ekf_update_iterated.m:1-4 calls a missing update_iterated, SURVEY.md
+    §2.9): relinearize h and H about the current iterate x_i, with the
+    standard IEKF innovation correction nu_i = z − h(x_i) − H_i (x̂ − x_i),
+    then apply the covariance update once at the final linearization point.
+
+    h_fn: x -> (h (M,), H (M, D)) evaluated at x (rows for inactive
+    measurements must be zero in H and arbitrary in h — they are masked).
+    """
+    dtype = x.dtype
+    mask = row_mask.astype(dtype)
+    r_eff = jnp.where(row_mask, r_diag, jnp.ones_like(r_diag))
+    x0 = x
+
+    def body(_, xi):
+        h, H = h_fn(xi)
+        H = H * mask[:, None]
+        nu = (z - h) * mask - H @ (x0 - xi)
+        PHt = P @ H.T
+        S = H @ PHt + jnp.diag(r_eff)
+        chol = jax.lax.linalg.cholesky(S)
+        Kt = jax.scipy.linalg.cho_solve((chol, True), PHt.T)
+        return x0 + Kt.T @ nu
+
+    xi = jax.lax.fori_loop(0, num_iters, body, x)
+    # Final covariance at the last linearization point.
+    h, H = h_fn(xi)
+    H = H * mask[:, None]
+    PHt = P @ H.T
+    S = H @ PHt + jnp.diag(r_eff)
+    chol = jax.lax.linalg.cholesky(S)
+    Kt = jax.scipy.linalg.cho_solve((chol, True), PHt.T)
+    P_new = P - Kt.T @ (S @ Kt)
+    P_new = 0.5 * (P_new + P_new.T)
+    return _renormalize_quaternion(xi, P_new)

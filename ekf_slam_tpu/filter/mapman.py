@@ -1,0 +1,222 @@
+"""Map management: masked feature add / delete / reparametrization (L3).
+
+Where the reference grows and shrinks x and P (add_features_inverse_depth.m:
+20-21, delete_a_feature.m:21-25), this module scatters into fixed slots:
+
+* ``add_features``     — sequential lax.fori_loop over K candidate pixels,
+  each taking the first free slot; covariance growth follows
+  add_a_feature_covariance_inverse_depth.m:35-64 exactly (the P-append
+  becomes row/col scatter: new rows = dy_dxv · P[0:13, :], new diagonal
+  block = dy_dxv P₁₁ dy_dxvᵀ + dy_dhd Padd dy_dhdᵀ). Sequential order
+  matters: feature j's cross-covariance with feature i<j added this step
+  flows through the already-written columns, exactly like the reference's
+  repeated append loop (add_features_inverse_depth.m:20-23).
+* ``delete_features``  — implements the policy of the *missing*
+  delete_features.m (map_management.m:7, SURVEY.md §2.9): drop a feature
+  once times_measured < ratio·times_predicted after >= min predictions;
+  deletion = zeroing the slot's x entries and P rows/cols + clearing masks.
+* ``convert_to_cartesian`` — Civera linearity index
+  L = 4σ_d cosα / d (inversedepth_2_cartesian.m:32); converts at most ONE
+  feature per step (the first eligible, matching the reference's early
+  return at :49), mapping P through J = [I₃ (1/ρ)∂m/∂θ (1/ρ)∂m/∂φ −m/ρ²]
+  (:37-45). The slot stays 6-wide; dims 3:6 are zeroed.
+* ``update_counters``  — update_features_info.m:4-18.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ekf_slam_tpu.config import CAM_DIM, EngineConfig
+from ekf_slam_tpu.filter.state import FilterState
+from ekf_slam_tpu.ops import camera as cam_ops
+from ekf_slam_tpu.ops import quaternion as quat
+
+
+def _slot_slice(slot: jnp.ndarray) -> jnp.ndarray:
+    return CAM_DIM + 6 * slot
+
+
+def add_feature_jacobians(uvd: jnp.ndarray, x_cam: jnp.ndarray,
+                          cfg: EngineConfig):
+    """dy_dxv (6,13) and dy_dhd (6,3) for one new inverse-depth feature
+    (add_a_feature_covariance_inverse_depth.m:28-57)."""
+    cam = cfg.camera
+    dtype = x_cam.dtype
+    fku = cam.f / cam.d
+    q_wc = x_cam[3:7]
+    R_wc = quat.q2r(q_wc)
+    uvu = cam_ops.undistort(uvd, cam)
+    xyz_c = jnp.stack([-(cam.cx - uvu[..., 0]) / fku,
+                       -(cam.cy - uvu[..., 1]) / fku,
+                       jnp.ones_like(uvu[..., 0])], axis=-1)
+    xyz_w = R_wc @ xyz_c
+    Xw, Yw, Zw = xyz_w[0], xyz_w[1], xyz_w[2]
+    xz2 = Xw * Xw + Zw * Zw
+    r2 = xz2 + Yw * Yw
+    sxz = jnp.sqrt(xz2)
+    dtheta_dgw = jnp.stack([Zw / xz2, jnp.zeros_like(Zw), -Xw / xz2])
+    dphi_dgw = jnp.stack([Xw * Yw / (r2 * sxz), -sxz / r2, Zw * Yw / (r2 * sxz)])
+    dgw_dqwr = quat.dRq_times_a_by_dq(q_wc, xyz_c)             # (3,4)
+
+    dy_dxv = jnp.zeros((6, CAM_DIM), dtype)
+    dy_dxv = dy_dxv.at[0:3, 0:3].set(jnp.eye(3, dtype=dtype))
+    dy_dxv = dy_dxv.at[3, 3:7].set(dtheta_dgw @ dgw_dqwr)
+    dy_dxv = dy_dxv.at[4, 3:7].set(dphi_dgw @ dgw_dqwr)
+
+    dyprima_dgw = jnp.stack([jnp.zeros(3, dtype), jnp.zeros(3, dtype),
+                             jnp.zeros(3, dtype), dtheta_dgw, dphi_dgw])
+    dgc_dhu = jnp.array([[1.0 / fku, 0.0], [0.0, 1.0 / fku], [0.0, 0.0]], dtype)
+    dhu_dhd = cam_ops.jacob_undistort(uvd, cam)
+    dyprima_dhd = dyprima_dgw @ R_wc @ dgc_dhu @ dhu_dhd        # (5,2)
+    dy_dhd = jnp.zeros((6, 3), dtype)
+    dy_dhd = dy_dhd.at[0:5, 0:2].set(dyprima_dhd)
+    dy_dhd = dy_dhd.at[5, 2].set(1.0)
+    return dy_dxv, dy_dhd
+
+
+def add_one_feature(state: FilterState, uvd: jnp.ndarray, slot: jnp.ndarray,
+                    lm_id: jnp.ndarray, cfg: EngineConfig) -> FilterState:
+    """Scatter one new inverse-depth feature into `slot` (traced index)."""
+    m = cfg.map
+    dtype = state.x.dtype
+    x_cam = state.x[:CAM_DIM]
+    y = cam_ops.back_project_inverse_depth(
+        uvd, x_cam[0:3], x_cam[3:7], m.initial_rho, cfg.camera)
+    dy_dxv, dy_dhd = add_feature_jacobians(uvd, x_cam, cfg)
+    std_pxl = jnp.asarray(cfg.filter.sigma_z, dtype)
+    Padd = jnp.diag(jnp.array(
+        [cfg.filter.sigma_z**2, cfg.filter.sigma_z**2, m.std_rho**2], dtype))
+
+    off = _slot_slice(slot)
+    x_new = jax.lax.dynamic_update_slice(state.x, y, (off,))
+    rows = dy_dxv @ state.P[:CAM_DIM, :]                        # (6, D)
+    diag = (dy_dxv @ state.P[:CAM_DIM, :CAM_DIM] @ dy_dxv.T
+            + dy_dhd @ Padd @ dy_dhd.T)                         # (6, 6)
+    P = jax.lax.dynamic_update_slice(state.P, rows, (off, 0))
+    P = jax.lax.dynamic_update_slice(P, rows.T, (0, off))
+    P = jax.lax.dynamic_update_slice(P, diag, (off, off))
+    del std_pxl
+    return state.replace(
+        x=x_new, P=P,
+        active=state.active.at[slot].set(True),
+        cartesian=state.cartesian.at[slot].set(False),
+        times_predicted=state.times_predicted.at[slot].set(0),
+        times_measured=state.times_measured.at[slot].set(0),
+        landmark_id=state.landmark_id.at[slot].set(lm_id))
+
+
+def add_features(state: FilterState, uvd: jnp.ndarray, cand_mask: jnp.ndarray,
+                 lm_ids: jnp.ndarray, cfg: EngineConfig) -> FilterState:
+    """Add up to K candidate features into free slots, sequentially.
+
+    uvd: (K, 2) pixels; cand_mask: (K,) bool; lm_ids: (K,) int32
+    (ground-truth handles for the sim path; pass -1s otherwise).
+    """
+    K = uvd.shape[0]
+
+    def body(k, st):
+        free = ~st.active
+        has_free = jnp.any(free)
+        slot = jnp.argmax(free)          # first free slot
+        do = cand_mask[k] & has_free
+        st_added = add_one_feature(st, uvd[k], slot, lm_ids[k], cfg)
+        return jax.tree.map(
+            lambda a, b: jnp.where(
+                jnp.reshape(do, (1,) * a.ndim), b, a), st, st_added)
+
+    return jax.lax.fori_loop(0, K, body, state)
+
+
+def delete_features(state: FilterState, cfg: EngineConfig) -> FilterState:
+    """Apply the delete policy, zeroing dead slots (see module docstring)."""
+    m = cfg.map
+    weak = (state.times_predicted >= m.delete_min_predictions) & (
+        state.times_measured.astype(state.x.dtype)
+        < m.delete_measured_ratio * state.times_predicted.astype(state.x.dtype))
+    drop = state.active & weak
+    keep = ~drop
+    dim_keep = jnp.concatenate([
+        jnp.ones(CAM_DIM, bool), jnp.repeat(keep, 6)])
+    x = state.x * dim_keep.astype(state.x.dtype)
+    P = state.P * (dim_keep[:, None] & dim_keep[None, :]).astype(state.P.dtype)
+    z32 = jnp.zeros_like(state.times_predicted)
+    return state.replace(
+        x=x, P=P,
+        active=state.active & keep,
+        cartesian=state.cartesian & keep,
+        times_predicted=jnp.where(drop, z32, state.times_predicted),
+        times_measured=jnp.where(drop, z32, state.times_measured),
+        landmark_id=jnp.where(drop, -1, state.landmark_id))
+
+
+def convert_to_cartesian(state: FilterState, cfg: EngineConfig) -> FilterState:
+    """Inverse-depth -> cartesian reparametrization of at most one feature
+    per step (inversedepth_2_cartesian.m:1-52)."""
+    m = cfg.map
+    dtype = state.x.dtype
+    cap = state.capacity
+    slots = state.slot_values()                                # (CAP, 6)
+    y3, theta, phi, rho = slots[:, 0:3], slots[:, 3], slots[:, 4], slots[:, 5]
+    idx = jnp.arange(cap)
+    rho_var = state.P[CAM_DIM + 6 * idx + 5, CAM_DIM + 6 * idx + 5]
+    # Guard rho==0 on inactive slots.
+    safe_rho = jnp.where(rho == 0, jnp.ones_like(rho), rho)
+    std_d = jnp.sqrt(jnp.maximum(rho_var, 0.0)) / safe_rho**2
+    mi = quat.azel_to_ray(theta, phi)
+    p = y3 + mi / safe_rho[:, None]
+    cam_r = state.x[0:3]
+    v1 = p - y3                     # p − x_c1 (init camera position ≈ y3)
+    v2 = p - cam_r                  # p − x_c2
+    n1 = jnp.linalg.norm(v1, axis=-1)
+    n2 = jnp.linalg.norm(v2, axis=-1)
+    denom = jnp.where((n1 == 0) | (n2 == 0), jnp.ones_like(n1), n1 * n2)
+    cos_alpha = jnp.sum(v1 * v2, axis=-1) / denom
+    L = 4.0 * std_d * cos_alpha / jnp.where(n2 == 0, jnp.ones_like(n2), n2)
+
+    eligible = state.active & ~state.cartesian & (L < m.linearity_threshold)
+    do = jnp.any(eligible)
+    slot = jnp.argmax(eligible)     # first eligible (reference converts one)
+    off = _slot_slice(slot)
+
+    # J = [I₃ (1/ρ)∂m/∂θ (1/ρ)∂m/∂φ −m/ρ²]  (3x6)
+    th_s, ph_s, rho_s = theta[slot], phi[slot], safe_rho[slot]
+    J = jnp.concatenate([
+        jnp.eye(3, dtype=dtype),
+        (quat.dm_dtheta(theta, phi)[slot] / rho_s)[:, None],
+        (quat.dm_dphi(theta, phi)[slot] / rho_s)[:, None],
+        (-mi[slot] / rho_s**2)[:, None]], axis=1)
+    del th_s, ph_s
+
+    # x: slot <- [p, 0, 0, 0]
+    new_slot_x = jnp.concatenate([p[slot], jnp.zeros(3, dtype)])
+    x_new = jax.lax.dynamic_update_slice(state.x, new_slot_x, (off,))
+
+    # P <- J_all P J_allᵀ: only the slot's 6 rows/cols change; the first 3
+    # become J·(slot rows), the last 3 become zero.
+    slot_rows = jax.lax.dynamic_slice(state.P, (off, 0), (6, state.P.shape[1]))
+    new_rows3 = J @ slot_rows                                   # (3, D)
+    diag33 = J @ jax.lax.dynamic_slice(state.P, (off, off), (6, 6)) @ J.T
+    new_rows = jnp.concatenate(
+        [new_rows3, jnp.zeros((3, state.P.shape[1]), dtype)], axis=0)
+    P = jax.lax.dynamic_update_slice(state.P, new_rows, (off, 0))
+    P = jax.lax.dynamic_update_slice(P, new_rows.T, (0, off))
+    diag66 = jnp.zeros((6, 6), dtype).at[0:3, 0:3].set(diag33)
+    P = jax.lax.dynamic_update_slice(P, diag66, (off, off))
+
+    converted = state.replace(
+        x=x_new, P=P, cartesian=state.cartesian.at[slot].set(True))
+    return jax.tree.map(
+        lambda a, b: jnp.where(jnp.reshape(do, (1,) * a.ndim), b, a),
+        state, converted)
+
+
+def update_counters(state: FilterState, predicted: jnp.ndarray,
+                    measured: jnp.ndarray) -> FilterState:
+    """times_predicted += predicted; times_measured += measured
+    (update_features_info.m:4-10). Masks are per-slot bools from the
+    *previous* step's association, applied at the start of the next step."""
+    return state.replace(
+        times_predicted=state.times_predicted + predicted.astype(jnp.int32),
+        times_measured=state.times_measured + measured.astype(jnp.int32))

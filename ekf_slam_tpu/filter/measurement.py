@@ -1,0 +1,184 @@
+"""Measurement model over all landmark slots at once (L3).
+
+Vectorized (slot-axis) re-design of the reference's per-feature loops:
+* prediction + visibility gates — predict_camera_measurements.m:1-28,
+  hi_inverse_depth.m:1-57 (camera-frame transform, ±60° FoV gate, distorted
+  in-image gate), hi_cartesian.m:1-49. Empty-return gating becomes a boolean
+  `visible` mask.
+* analytic Jacobians — calculate_Hi_inverse_depth.m:1-165 /
+  calculate_Hi_cartesian.m:1-115, produced as per-slot blocks
+  H_xv (CAP,2,13), H_y (CAP,2,6) and assembled into the dense padded
+  (2·CAP, D) matrix by a block-diagonal einsum (the reference scatters into
+  a dynamically-sized sparse row pair instead).
+* per-slot innovation covariance S_i = H_i P Hᵀ_i + R_i
+  (search_IC_matches.m:8) computed for all slots with one batched contraction.
+
+Every function treats a cartesian landmark as occupying the first 3 dims of
+its 6-wide slot (state.py layout); the angular/rho H columns are zeroed.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ekf_slam_tpu.config import CAM_DIM, CameraConfig, EngineConfig
+from ekf_slam_tpu.filter.state import FilterState
+from ekf_slam_tpu.ops import camera as cam_ops
+from ekf_slam_tpu.ops import quaternion as quat
+
+
+def camera_frame_points(x: jnp.ndarray, slots: jnp.ndarray,
+                        cartesian: jnp.ndarray) -> jnp.ndarray:
+    """h_C for every slot: R_cw((y−t)ρ + m) for inverse-depth
+    (hi_inverse_depth.m:16), R_cw(y−t) for cartesian (hi_cartesian.m:8).
+
+    x: (D,) state; slots: (CAP, 6); cartesian: (CAP,) bool. Returns (CAP, 3).
+    """
+    t_wc = x[0:3]
+    R_wc = quat.q2r(x[3:7])
+    y3 = slots[:, 0:3]
+    theta, phi, rho = slots[:, 3], slots[:, 4], slots[:, 5]
+    mi = quat.azel_to_ray(theta, phi)                      # (CAP, 3)
+    v_id = (y3 - t_wc) * rho[:, None] + mi
+    v_cart = y3 - t_wc
+    v = jnp.where(cartesian[:, None], v_cart, v_id)
+    return v @ R_wc                                        # R_wcᵀ v, batched
+
+
+def predict_measurements(x: jnp.ndarray, active: jnp.ndarray,
+                         cartesian: jnp.ndarray, cfg: EngineConfig):
+    """Project every active slot; gate by FoV and image bounds.
+
+    Returns (h (CAP,2) distorted pixels, visible (CAP,) bool, hc (CAP,3)).
+    Matches hi_*'s gating: |atan2(hx,hz)|, |atan2(hy,hz)| <= 60° and
+    0 < u < nCols, 0 < v < nRows (hi_inverse_depth.m:37-57).
+    """
+    cam = cfg.camera
+    cap = active.shape[0]
+    slots = x[CAM_DIM:].reshape(cap, 6)
+    hc = camera_frame_points(x, slots, cartesian)
+    lim = jnp.deg2rad(jnp.asarray(cfg.matching.fov_limit_deg, x.dtype))
+    ax = jnp.arctan2(hc[:, 0], hc[:, 2])
+    ay = jnp.arctan2(hc[:, 1], hc[:, 2])
+    in_fov = (jnp.abs(ax) <= lim) & (jnp.abs(ay) <= lim)
+    # Guard the projection division for slots behind the camera (the
+    # reference early-returns before projecting; we project a safe dummy).
+    hc_safe = jnp.where(in_fov[:, None], hc,
+                        jnp.array([0.0, 0.0, 1.0], x.dtype))
+    h = cam_ops.distort(cam_ops.project(hc_safe, cam), cam)
+    in_image = ((h[:, 0] > 0) & (h[:, 0] < cam.n_cols)
+                & (h[:, 1] > 0) & (h[:, 1] < cam.n_rows))
+    visible = active & in_fov & in_image
+    return h, visible, hc
+
+
+def jacobians(x: jnp.ndarray, h: jnp.ndarray, hc: jnp.ndarray,
+              cartesian: jnp.ndarray, cam: CameraConfig):
+    """Analytic per-slot measurement Jacobians.
+
+    Returns H_xv (CAP, 2, 13), H_y (CAP, 2, 6). The chain is
+    dh_dhrl = dhd_dhu · dhu_dhrl with dhd_dhu = inv(jacob_undistort(h))
+    (calculate_Hi_inverse_depth.m:113-156), then
+      inverse-depth: dhrl_drw = −R_cw ρ; dhrl_dqwr = dRq(q̄, (y−r)ρ+m)·dq̄/dq;
+                     dhrl_dy = [ρ R_cw, R_cw ∂m/∂θ, R_cw ∂m/∂φ, R_cw(y−r)]
+                     (calculate_Hi_inverse_depth.m:44-108)
+      cartesian:     dhrl_drw = −R_cw; dhrl_dy = R_cw
+                     (calculate_Hi_cartesian.m:31-41).
+    """
+    dtype = x.dtype
+    cap = cartesian.shape[0]
+    slots = x[CAM_DIM:].reshape(cap, 6)
+    rw, qwr = x[0:3], x[3:7]
+    R_wc = quat.q2r(qwr)
+    R_cw = R_wc.T
+    y3 = slots[:, 0:3]
+    theta, phi, rho = slots[:, 3], slots[:, 4], slots[:, 5]
+    mi = quat.azel_to_ray(theta, phi)
+
+    dh_dhrl = cam_ops.jacob_distort(h, cam) @ cam_ops.dhu_dhrl(hc, cam)  # (CAP,2,3)
+
+    # ∂h_C/∂r_W
+    dhrl_drw_id = -R_cw[None, :, :] * rho[:, None, None]
+    dhrl_drw_cart = jnp.broadcast_to(-R_cw, (cap, 3, 3))
+    dhrl_drw = jnp.where(cartesian[:, None, None], dhrl_drw_cart, dhrl_drw_id)
+
+    # ∂h_C/∂q_WR = dRq_times_a_by_dq(q̄, a) · diag(1,−1,−1,−1)
+    a_id = (y3 - rw) * rho[:, None] + mi
+    a_cart = y3 - rw
+    a = jnp.where(cartesian[:, None], a_cart, a_id)
+    dhrl_dq = quat.dRq_times_a_by_dq(
+        jnp.broadcast_to(quat.qconj(qwr), (cap, 4)), a) @ quat.dqbar_dq(dtype)
+
+    H_xv = jnp.concatenate([
+        dh_dhrl @ dhrl_drw,
+        dh_dhrl @ dhrl_dq,
+        jnp.zeros((cap, 2, 6), dtype)], axis=-1)
+
+    # ∂h_C/∂y — inverse-depth: 6 columns; cartesian: 3 columns (rest zero).
+    dmi_dth = quat.dm_dtheta(theta, phi) @ R_wc      # R_cw·dm, batched
+    dmi_dph = quat.dm_dphi(theta, phi) @ R_wc
+    ry = (y3 - rw) @ R_wc                            # R_cw (y − r)
+    dhrl_dy_id = jnp.concatenate([
+        R_cw[None] * rho[:, None, None],
+        dmi_dth[:, :, None], dmi_dph[:, :, None], ry[:, :, None]], axis=-1)
+    dhrl_dy_cart = jnp.concatenate([
+        jnp.broadcast_to(R_cw, (cap, 3, 3)), jnp.zeros((cap, 3, 3), dtype)],
+        axis=-1)
+    dhrl_dy = jnp.where(cartesian[:, None, None], dhrl_dy_cart, dhrl_dy_id)
+    H_y = dh_dhrl @ dhrl_dy
+    return H_xv, H_y
+
+
+def innovation_covariances(P: jnp.ndarray, H_xv: jnp.ndarray,
+                           H_y: jnp.ndarray, sigma_z: float):
+    """Per-slot S_i = H_i P H_iᵀ + σ_z² I₂ for all slots at once
+    (search_IC_matches.m:8), exploiting H_i's two-block sparsity.
+
+    S_i = Hxvᵢ P₁₁ Hxvᵢᵀ + Hxvᵢ P₁ᵧᵢ Hyᵢᵀ + (·)ᵀ + Hyᵢ Pᵧᵢᵧᵢ Hyᵢᵀ + R.
+    Returns (CAP, 2, 2).
+    """
+    cap = H_xv.shape[0]
+    P11 = P[:CAM_DIM, :CAM_DIM]
+    # Cross/diag blocks per slot, gathered by reshape (slots are regular).
+    P1y = P[:CAM_DIM, CAM_DIM:].reshape(CAM_DIM, cap, 6).transpose(1, 0, 2)
+    Pyy = _slot_diag_blocks(P, cap)
+    t1 = jnp.einsum("nij,jk,nlk->nil", H_xv, P11, H_xv)
+    t2 = jnp.einsum("nij,njk,nlk->nil", H_xv, P1y, H_y)
+    t3 = jnp.einsum("nij,njk,nlk->nil", H_y, Pyy, H_y)
+    R = (sigma_z ** 2) * jnp.eye(2, dtype=P.dtype)
+    return t1 + t2 + jnp.swapaxes(t2, -1, -2) + t3 + R
+
+
+def _slot_diag_blocks(P: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """(CAP, 6, 6) diagonal landmark blocks of P."""
+    Pm = P[CAM_DIM:, CAM_DIM:].reshape(cap, 6, cap, 6)
+    idx = jnp.arange(cap)
+    return Pm[idx, :, idx, :]
+
+
+def dense_H(H_xv: jnp.ndarray, H_y: jnp.ndarray,
+            row_mask: jnp.ndarray) -> jnp.ndarray:
+    """Assemble the (2·CAP, D) dense Jacobian: camera columns from H_xv,
+    block-diagonal landmark columns from H_y, masked rows zeroed.
+
+    The reference's equivalent is the per-feature sparse row-pair insertion
+    at calculate_Hi_inverse_depth.m:20-23.
+    """
+    cap = H_xv.shape[0]
+    dtype = H_xv.dtype
+    m = row_mask.astype(dtype)[:, None, None]
+    Hxv = (H_xv * m).reshape(2 * cap, CAM_DIM)
+    eye = jnp.eye(cap, dtype=dtype)
+    Hy = jnp.einsum("nj,nck->ncjk", eye, H_y * m).reshape(2 * cap, 6 * cap)
+    return jnp.concatenate([Hxv, Hy], axis=1)
+
+
+def predict_and_linearize(x: jnp.ndarray, P: jnp.ndarray, state: FilterState,
+                          cfg: EngineConfig):
+    """Convenience: h, visible, H blocks, per-slot S — one call
+    (= predict_camera_measurements + calculate_derivatives + the S loop of
+    search_IC_matches.m:4-9)."""
+    h, visible, hc = predict_measurements(x, state.active, state.cartesian, cfg)
+    H_xv, H_y = jacobians(x, h, hc, state.cartesian, cfg.camera)
+    S = innovation_covariances(P, H_xv, H_y, cfg.filter.sigma_z)
+    return h, visible, H_xv, H_y, S

@@ -171,11 +171,13 @@ def fv(xv, dt, cfg: FilterConfig):
 
 
 def dfv_by_dxv(xv, dt):
+    # ∂(q⊗qwt)/∂q = R(qwt); ∂(q⊗qwt)/∂w = L(q)·dq(wΔt)/dw. (The reference's
+    # dq3_by_dq2 builds the right-mult matrix despite the name.)
     q, w = xv[3:7], xv[10:13]
     F = np.eye(13)
-    F[3:7, 3:7] = left_mult_matrix(v2q(w * dt))
+    F[3:7, 3:7] = right_mult_matrix(v2q(w * dt))
     F[0:3, 7:10] = np.eye(3) * dt
-    F[3:7, 10:13] = right_mult_matrix(q) @ dqomegadt_by_domega(w, dt)
+    F[3:7, 10:13] = left_mult_matrix(q) @ dqomegadt_by_domega(w, dt)
     return F
 
 
@@ -186,7 +188,7 @@ def func_Q(xv, dt, cfg: FilterConfig):
     G[7:10, 0:3] = np.eye(3)
     G[10:13, 3:6] = np.eye(3)
     G[0:3, 0:3] = np.eye(3) * dt
-    G[3:7, 3:6] = right_mult_matrix(q) @ dqomegadt_by_domega(w, dt)
+    G[3:7, 3:6] = left_mult_matrix(q) @ dqomegadt_by_domega(w, dt)
     return G @ Pn @ G.T
 
 

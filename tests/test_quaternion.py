@@ -60,9 +60,10 @@ class TestAgainstOracle:
                 atol=1e-15)
 
     def test_norm_jac(self):
-        q = RNG.normal(size=4)
-        np.testing.assert_allclose(
-            q_ops.norm_jac(jnp.asarray(q)), oracle.norm_jac(q), rtol=1e-12)
+        qs = RNG.normal(size=(2, 4))  # batched: see precision note in q_ops
+        got = np.asarray(q_ops.norm_jac(jnp.asarray(qs)))
+        for g, q in zip(got, qs):
+            np.testing.assert_allclose(g, oracle.norm_jac(q), rtol=1e-12)
 
     def test_mult_matrices(self):
         q, p = RNG.normal(size=4), RNG.normal(size=4)
@@ -73,10 +74,11 @@ class TestAgainstOracle:
             np.asarray(q_ops.right_mult_matrix(jnp.asarray(p))) @ q, qp, rtol=1e-12)
 
     def test_dqomegadt_by_domega(self):
-        for w in [RNG.normal(size=3), np.full(3, 1e-15)]:
+        ws = np.stack([RNG.normal(size=3), np.full(3, 1e-15)])
+        got = np.asarray(q_ops.dqomegadt_by_domega(jnp.asarray(ws), 1.0))
+        for g, w in zip(got, ws):
             np.testing.assert_allclose(
-                q_ops.dqomegadt_by_domega(jnp.asarray(w), 1.0),
-                oracle.dqomegadt_by_domega(w, 1.0), rtol=1e-10, atol=1e-15)
+                g, oracle.dqomegadt_by_domega(w, 1.0), rtol=1e-10, atol=5e-14)
 
     def test_dRq_times_a_by_dq(self):
         q, a = rand_quat(), RNG.normal(size=3)
@@ -125,14 +127,16 @@ class TestAgainstAutodiff:
 
 class TestEulerHelpers:
     def test_rpy_roundtrip(self):
-        rpy = jnp.asarray([0.2, -0.4, 0.9])
-        R = q_ops.rpy2r(rpy[0], rpy[1], rpy[2])
-        np.testing.assert_allclose(q_ops.r2rpy(R), rpy, rtol=1e-10)
+        rpy = jnp.asarray([[0.2, -0.4, 0.9], [0.5, 0.1, -0.3]])  # batched
+        R = q_ops.rpy2r(rpy[:, 0], rpy[:, 1], rpy[:, 2])
+        np.testing.assert_allclose(q_ops.r2rpy(R), rpy, rtol=1e-10, atol=1e-12)
 
     def test_rot_orthonormal(self):
         for rot in (q_ops.rotx, q_ops.roty, q_ops.rotz):
-            R = rot(jnp.asarray(0.7))
-            np.testing.assert_allclose(R @ R.T, jnp.eye(3), atol=1e-12)
+            R = rot(jnp.asarray([0.7, -1.2]))
+            np.testing.assert_allclose(
+                R @ jnp.swapaxes(R, -1, -2), jnp.broadcast_to(jnp.eye(3), (2, 3, 3)),
+                atol=1e-12)
 
 
 def test_xla_vector_transcendental_precision():
