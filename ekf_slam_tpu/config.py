@@ -91,6 +91,9 @@ class MapConfig:
     std_rho: float = 1.0                      # initialize_a_feature.m:11
     linearity_threshold: float = 0.1          # inversedepth_2_cartesian.m:3
     max_init_attempts: int = 50               # initialize_features.m:5
+    max_new_per_step: int = 25                # candidate batch per init pass
+    #   (initialize_features.m adds up to the deficit; we cap the per-step
+    #   candidate scatter at this static count to stay fixed-shape)
     # delete policy (replaces the missing delete_features.m, SURVEY.md §2.9)
     delete_min_predictions: int = 5
     delete_measured_ratio: float = 0.5
@@ -146,6 +149,13 @@ class SimConfig:
     pixel_noise_std: float = 1.0
     outlier_fraction: float = 0.05
     outlier_shift_px: float = 30.0
+    # ground-truth initial linear/angular velocity of the camera
+    v_init: Tuple[float, float, float] = (0.02, 0.0, 0.005)
+    w_init: Tuple[float, float, float] = (0.0, 0.004, 0.0)
+    # white-acceleration excitation of the TRUE trajectory; None = use the
+    # filter's sigma_a/sigma_alpha (matched generative model)
+    traj_accel_std: float | None = None
+    traj_alpha_std: float | None = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,180 @@
+"""The per-frame SLAM step — the reference's whole mono_slam.m hot loop
+(mono_slam.m:50-82) as ONE pure jittable function over the padded state.
+
+Stage order (mono_slam.m:53-74):
+  1. map management: delete weak features, convert one inverse-depth feature
+     to cartesian (map_management.m:1-35)
+  2. EKF prediction (ekf_prediction.m / predict_state_and_covariance.m)
+  3. measurement gathering + individual compatibility (search_IC_matches.m,
+     matching.m χ² gate)
+  4. 1-point RANSAC → low-innovation inliers (ransac_hypotheses.m)
+  5. LI update from the prior (ekf_update_li_inliers.m)
+  6. high-innovation rescue from the posterior (rescue_hi_inliers.m)
+  7. HI update from the posterior (ekf_update_hi_inliers.m)
+  8. counter bookkeeping (update_features_info.m) + feature initialization
+     when measured < min_features (map_management.m:27-34,
+     initialize_features.m) — performed at the END of the step from the
+     current frame, which is the same data the reference would feed it at
+     the START of the next step (its `im` still holds the previous frame at
+     map_management time, mono_slam.m:53,59).
+
+Every stage is branchless/masked; the only randomness is the RANSAC draw.
+`run_sequence` wraps the step in a lax.scan over frames; Monte-Carlo
+evaluation = jax.vmap of `run_sequence` over instances (the batch axis that
+delivers the steps/sec/chip target, BASELINE.json).
+
+Front-end note: this module consumes dense per-landmark measurements (the
+synthetic scene's ground-truth association, sim/scene.py). The image
+front-end (vision/) produces the same (z, z_valid) interface from pixels.
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ekf_slam_tpu.config import EngineConfig
+from ekf_slam_tpu.filter import association, ekf, mapman, measurement, ransac
+from ekf_slam_tpu.filter.state import FilterState
+from ekf_slam_tpu.sim.scene import FrameObs
+
+
+@flax.struct.dataclass
+class StepInfo:
+    """Per-step diagnostics (the engine's metrics surface; SURVEY.md §5)."""
+    n_visible: jnp.ndarray
+    n_ic: jnp.ndarray
+    n_li: jnp.ndarray
+    n_hi: jnp.ndarray
+    ransac_support: jnp.ndarray
+
+
+def gather_measurements(state: FilterState, obs: FrameObs):
+    """Ground-truth association: slot i's measurement is the observation of
+    the landmark it was initialized from (landmark_id). Returns
+    (z (CAP,2), z_valid (CAP,))."""
+    lm = state.landmark_id
+    L = obs.pixels.shape[0]
+    safe = jnp.clip(lm, 0, L - 1)
+    z = obs.pixels[safe]
+    z_valid = (lm >= 0) & obs.visible[safe] & state.active
+    return z, z_valid
+
+
+def _in_map_mask(state: FilterState, num_landmarks: int) -> jnp.ndarray:
+    """(L,) bool — landmark already owned by an active slot."""
+    lm = jnp.where(state.active, state.landmark_id, -1)
+    return (jnp.zeros(num_landmarks, jnp.int32)
+            .at[jnp.clip(lm, 0, num_landmarks - 1)]
+            .add(jnp.where(lm >= 0, 1, 0)) > 0)
+
+
+def initialize_features(state: FilterState, obs: FrameObs, n_measured,
+                        cfg: EngineConfig) -> FilterState:
+    """Masked equivalent of map_management.m:27-34 + initialize_features.m:
+    when fewer than min_features were measured, add up to `max_new_per_step`
+    new inverse-depth features from currently visible, not-yet-mapped
+    landmarks."""
+    m = cfg.map
+    L = obs.pixels.shape[0]
+    need = n_measured < m.min_features_in_image
+    candidate = obs.visible & ~_in_map_mask(state, L)
+    # Deficit-limited, branchless top-K selection: order candidates first
+    # (stable argsort of ~candidate), keep at most `deficit` of them.
+    order = jnp.argsort(~candidate)                       # candidates first
+    k = jnp.arange(m.max_new_per_step)
+    picks = order[: m.max_new_per_step]
+    deficit = jnp.maximum(m.min_features_in_image - n_measured, 0)
+    take = (candidate[picks]
+            & (k < deficit)
+            & need)
+    return mapman.add_features(
+        state, obs.pixels[picks], take, picks.astype(jnp.int32), cfg)
+
+
+def step(state: FilterState, obs: FrameObs, key: jax.Array,
+         cfg: EngineConfig):
+    """One full SLAM frame. Returns (new_state, StepInfo)."""
+    f = cfg.filter
+    cap = state.capacity
+
+    # -- 1. map management (delete + one reparametrization) ------------------
+    state = mapman.delete_features(state, cfg)
+    state = mapman.convert_to_cartesian(state, cfg)
+
+    # -- 2. EKF prediction ----------------------------------------------------
+    x_prior, P_prior = ekf.predict(state.x, state.P, f)
+
+    # -- 3. measurement prediction + IC gating (search_IC_matches/matching) --
+    z, z_valid = gather_measurements(state, obs)
+    h, visible, H_xv, H_y = _linearize(x_prior, P_prior, state, cfg)[:4]
+    S = measurement.innovation_covariances(P_prior, H_xv, H_y, f.sigma_z)
+    ic = association.individually_compatible(z, z_valid, h, visible, S, cfg)
+
+    # -- 4. 1-point RANSAC → LI inliers ---------------------------------------
+    H_dense = measurement.dense_H(H_xv, H_y, visible)
+    li, support = ransac.run(
+        x_prior, P_prior, z, h, H_dense, S, ic, state.cartesian, key, cfg)
+
+    # -- 5. LI update from the prior (ekf_update_li_inliers.m; R = I there) ---
+    row_mask_li = jnp.repeat(li, 2)
+    H_li = measurement.dense_H(H_xv, H_y, li)
+    x_post, P_post = ekf.update(
+        x_prior, P_prior, H_li, z.reshape(-1), h.reshape(-1), row_mask_li,
+        jnp.ones(2 * cap, x_prior.dtype))
+
+    # -- 6. HI rescue from the posterior (rescue_hi_inliers.m) ----------------
+    h2, vis2, H_xv2, H_y2 = _linearize(x_post, P_post, state, cfg)[:4]
+    S_noR = measurement.innovation_covariances(P_post, H_xv2, H_y2, 0.0)
+    hi = association.rescue_high_innovation(z, h2, S_noR, ic & vis2, li, cfg)
+
+    # -- 7. HI update from the posterior (ekf_update_hi_inliers.m; R = I) -----
+    row_mask_hi = jnp.repeat(hi, 2)
+    H_hi = measurement.dense_H(H_xv2, H_y2, hi)
+    x_post, P_post = ekf.update(
+        x_post, P_post, H_hi, z.reshape(-1), h2.reshape(-1), row_mask_hi,
+        jnp.ones(2 * cap, x_post.dtype))
+
+    state = state.replace(x=x_post, P=P_post)
+
+    # -- 8. bookkeeping + feature initialization ------------------------------
+    measured = ic  # update_features_info.m: z non-empty ⇔ IC match stored
+    state = mapman.update_counters(state, visible, measured)
+    n_measured = jnp.sum(measured)
+    state = initialize_features(state, obs, n_measured, cfg)
+
+    info = StepInfo(
+        n_visible=jnp.sum(visible), n_ic=jnp.sum(ic),
+        n_li=jnp.sum(li), n_hi=jnp.sum(hi), ransac_support=support)
+    return state, info
+
+
+def _linearize(x, P, state: FilterState, cfg: EngineConfig):
+    h, visible, hc = measurement.predict_measurements(
+        x, state.active, state.cartesian, cfg)
+    H_xv, H_y = measurement.jacobians(x, h, hc, state.cartesian, cfg.camera)
+    return h, visible, H_xv, H_y, hc
+
+
+def bootstrap(state: FilterState, obs: FrameObs,
+              cfg: EngineConfig) -> FilterState:
+    """Initialize the map from the first frame (mono_slam.m runs
+    map_management before the first prediction)."""
+    return initialize_features(state, obs, jnp.asarray(0), cfg)
+
+
+def run_sequence(state: FilterState, obs_seq: FrameObs, key: jax.Array,
+                 cfg: EngineConfig):
+    """lax.scan of `step` over a sequence. obs_seq fields carry a leading
+    time axis. Returns (final_state, camera trajectory (T,13), StepInfo)."""
+    T = obs_seq.pixels.shape[0]
+
+    def body(st, inp):
+        o, k = inp
+        st, info = step(st, o, k, cfg)
+        return st, (st.x[..., :13], info)
+
+    keys = jax.random.split(key, T)
+    final, (traj, infos) = jax.lax.scan(body, state, (obs_seq, keys))
+    return final, traj, infos
