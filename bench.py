@@ -1,0 +1,73 @@
+"""Benchmark: batched EKF-SLAM steps/sec/chip at 100-landmark capacity.
+
+North-star metric (BASELINE.json / BASELINE.md): >= 10,000 batched EKF-SLAM
+steps/sec/chip at capacity 100. One "step" = ONE full SLAM frame for ONE
+filter instance — the entire mono_slam.m per-frame pipeline (map management,
+EKF predict, measurement prediction + Jacobians + per-slot innovation
+covariances, chi^2 IC gating, 64-hypothesis 1-point RANSAC, low-innovation
+update, high-innovation rescue + second update, counter bookkeeping and
+masked feature initialization).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline = value / 10_000 (the driver-set target; the reference itself
+publishes no numbers, SURVEY.md §6).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from ekf_slam_tpu.config import EngineConfig, MapConfig, SimConfig
+from ekf_slam_tpu.filter import engine
+from ekf_slam_tpu.filter.state import init_state
+from ekf_slam_tpu.sim import simulate
+
+BATCH = 512        # filter instances per chip (Monte-Carlo axis)
+FRAMES = 8         # frames per timed run (sequence scan)
+TARGET = 10_000.0  # steps/sec/chip (BASELINE.json north star)
+
+
+def main():
+    cfg = EngineConfig(
+        map=MapConfig(capacity=100, min_features_in_image=25,
+                      max_new_per_step=25),
+        sim=SimConfig(num_landmarks=128),
+        dtype="float32")
+
+    scn, xs, obs = simulate(jax.random.key(0), cfg, FRAMES)
+    st = engine.bootstrap(
+        init_state(cfg), jax.tree.map(lambda a: a[0], obs), cfg)
+    st_b = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (BATCH,) + a.shape), st)
+    keys = jax.random.split(jax.random.key(1), BATCH)
+
+    @jax.jit
+    def run(states, ks):
+        final, traj, infos = jax.vmap(
+            lambda s, k: engine.run_sequence(s, obs, k, cfg))(states, ks)
+        return final, traj
+
+    # Warmup / compile.
+    final, traj = run(st_b, keys)
+    jax.block_until_ready(traj)
+
+    t0 = time.perf_counter()
+    n_rep = 3
+    for i in range(n_rep):
+        final, traj = run(st_b, jax.random.split(jax.random.key(2 + i), BATCH))
+    jax.block_until_ready(traj)
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = BATCH * FRAMES * n_rep / dt
+    print(json.dumps({
+        "metric": "batched_ekf_slam_steps_per_sec_per_chip_cap100",
+        "value": round(steps_per_sec, 1),
+        "unit": "steps/s/chip",
+        "vs_baseline": round(steps_per_sec / TARGET, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,3 @@
+from ekf_slam_tpu.data.synthetic import synthetic_batch, class_weights
+
+__all__ = ["synthetic_batch", "class_weights"]

@@ -1,0 +1,135 @@
+"""CALC2 training: optax step + data-parallel mesh sharding.
+
+The reference trains with tf.estimator + MirroredStrategy over local GPUs
+(utils.py:526-588: Adam(1e-3), global-norm gradient clip 5, checkpoint every
+1024 steps). TPU-native redesign:
+
+* one pure `train_step(state, batch, rng)` jitted over a
+  jax.sharding.Mesh — batch sharded over the 'data' axis, parameters
+  replicated; XLA inserts the gradient all-reduce over ICI (the
+  MirroredStrategy equivalent, SURVEY.md §2.8).
+* NaN guards on every loss term mirror tf.check_numerics (calc2.py:311-313)
+  via `debug_nans`-free explicit checks in `metrics`.
+* Orbax checkpointing (every `ckpt_every` steps, keep-all like the
+  reference's RunConfig utils.py:563-566).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ekf_slam_tpu.models import augment, losses
+from ekf_slam_tpu.models.vss import VSS, VSSConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-3     # utils.py:502 Adam
+    grad_clip: float = 5.0          # utils.py:505 clip_gradients
+    batch_size: int = 12            # calc2.py:43
+    image_hw: tuple = (192, 256)    # calc2.py:19-20 (vh, vw)
+    margin: float = 0.5             # calc2.py:278
+    ckpt_every: int = 1024          # utils.py:563
+    seed: int = 0
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_model(cfg: Optional[VSSConfig] = None) -> VSS:
+    return VSS(cfg or VSSConfig())
+
+
+def init_state(model: VSS, tcfg: TrainConfig, rng: jax.Array) -> TrainState:
+    h, w = tcfg.image_hw
+    dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+    variables = model.init({"params": rng, "reparam": rng}, dummy, train=False)
+    tx = make_optimizer(tcfg)
+    return TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32))
+
+
+def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(tcfg.grad_clip),
+        optax.adam(tcfg.learning_rate))
+
+
+def train_step(model: VSS, tcfg: TrainConfig, state: TrainState,
+               images: jnp.ndarray, labels_onehot: jnp.ndarray,
+               class_weights: jnp.ndarray, rng: jax.Array):
+    """One optimization step. images: (B,H,W,3) in [0,1]; labels_onehot:
+    (B,H,W,13); class_weights: (13,). Returns (new_state, metrics)."""
+    k_aug, k_rep1, k_rep2 = jax.random.split(rng, 3)
+    im_warp = augment.positive_view(k_aug, images)
+    tx = make_optimizer(tcfg)
+
+    def loss_fn(params):
+        variables = {"params": params, "batch_stats": state.batch_stats}
+        outs, mut = model.apply(
+            variables, images, train=True, mutable=["batch_stats"],
+            rngs={"reparam": k_rep1})
+        outs_p = model.apply(
+            {"params": params, "batch_stats": mut["batch_stats"]},
+            im_warp, train=True, mutable=["batch_stats"],
+            rngs={"reparam": k_rep2}, descriptor_only=True)[0]
+        loss, metrics = losses.total_loss(
+            outs, outs_p["descriptor"], images, labels_onehot, class_weights,
+            tcfg.margin)
+        return loss, (metrics, mut["batch_stats"])
+
+    grads, (metrics, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    metrics["grad_norm"] = optax.global_norm(grads)
+    return TrainState(params=new_params, batch_stats=new_bs,
+                      opt_state=new_opt, step=state.step + 1), metrics
+
+
+def make_sharded_train_step(model: VSS, tcfg: TrainConfig, mesh: Mesh):
+    """jit the train step over a ('data',) mesh: batch sharded on 'data',
+    state replicated. XLA inserts the psum over ICI for the grads — the
+    MirroredStrategy all-reduce equivalent."""
+    data = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    def step_fn(state, images, labels, weights, rng):
+        images = jax.lax.with_sharding_constraint(images, data)
+        labels = jax.lax.with_sharding_constraint(labels, data)
+        return train_step(model, tcfg, state, images, labels, weights, rng)
+
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, data, data, repl, repl),
+        out_shardings=(repl, repl))
+
+
+# ----------------------------------------------------------------- checkpoint
+
+def save_checkpoint(path: str, state: TrainState):
+    """Orbax checkpoint (the Estimator ckpt equivalent, utils.py:563-566)."""
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state)
+    ckptr.wait_until_finished()
+
+
+def restore_checkpoint(path: str, template: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, template)

@@ -1,0 +1,74 @@
+"""Binary intensity-comparison descriptor (FREAK-class).
+
+The reference extracts FREAK descriptors around FAST corners and matches
+with a Hamming matcher (matching.m:45-47, initialize_a_feature.m:51-54).
+FREAK's retina sampling is an OpenCV-compiled pattern; bit-for-bit parity is
+out of scope (SURVEY.md §7 "Hard parts"). This is the same *family*: a
+fixed pseudo-random pair-comparison pattern over a smoothed patch — a
+BRIEF/FREAK-style binary descriptor, expressed as ±1 floats so matching is
+ONE matmul on the MXU (Hamming distance ≡ (N − dot)/2 for ±1 vectors).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+N_BITS = 256
+PATCH = 15          # descriptor support (odd)
+
+
+def _pattern(key=jax.random.key(1234)):
+    """Fixed comparison pattern: N_BITS pairs of offsets in the patch,
+    Gaussian-concentrated like BRIEF."""
+    k1, k2 = jax.random.split(key)
+    r = PATCH // 2
+    a = jnp.clip(jnp.round(jax.random.normal(k1, (N_BITS, 2)) * r / 2.5),
+                 -r, r).astype(jnp.int32)
+    b = jnp.clip(jnp.round(jax.random.normal(k2, (N_BITS, 2)) * r / 2.5),
+                 -r, r).astype(jnp.int32)
+    return a, b
+
+
+_PAT_A, _PAT_B = _pattern()
+
+
+def _smooth3(img: jnp.ndarray) -> jnp.ndarray:
+    """3x3 box smoothing (BRIEF requires pre-smoothing)."""
+    out = jnp.zeros_like(img)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            out = out + jnp.roll(img, (dy, dx), axis=(-2, -1))
+    return out / 9.0
+
+
+def describe(img: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
+    """Descriptors at K keypoints. img: (H, W); yx: (K, 2) int32.
+    Returns (K, N_BITS) ±1 floats."""
+    H, W = img.shape
+    sm = _smooth3(img)
+    r = PATCH // 2
+    y = jnp.clip(yx[:, 0], r, H - 1 - r)
+    x = jnp.clip(yx[:, 1], r, W - 1 - r)
+    ya = y[:, None] + _PAT_A[None, :, 0]
+    xa = x[:, None] + _PAT_A[None, :, 1]
+    yb = y[:, None] + _PAT_B[None, :, 0]
+    xb = x[:, None] + _PAT_B[None, :, 1]
+    bits = sm[ya, xa] > sm[yb, xb]
+    return jnp.where(bits, 1.0, -1.0).astype(img.dtype)
+
+
+def hamming_distance(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
+    """(K1, N)±1 x (K2, N)±1 -> (K1, K2) Hamming distances via one matmul."""
+    return 0.5 * (d1.shape[-1] - d1 @ d2.T)
+
+
+def match(d1: jnp.ndarray, d2: jnp.ndarray, max_distance: float):
+    """Nearest-neighbor Hamming matching with a distance gate — the
+    matchFeatures equivalent (matching.m:45-47 uses MaxRatio 1, Unique,
+    MatchThreshold; uniqueness here = forward NN only).
+    Returns (idx2 (K1,), valid (K1,))."""
+    dist = hamming_distance(d1, d2)
+    idx = jnp.argmin(dist, axis=-1)
+    best = jnp.min(dist, axis=-1)
+    return idx, best <= max_distance

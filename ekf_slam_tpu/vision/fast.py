@@ -1,0 +1,98 @@
+"""FAST-16 corner detection as dense vectorized ops.
+
+Replaces the reference's detectFASTFeatures calls (matching.m:29,
+initialize_a_feature.m:29-31, MinContrast 0.40). The classic FAST test: a
+pixel is a corner when >= `arc` CONTIGUOUS pixels on its 16-pixel Bresenham
+circle are all brighter than center + t or all darker than center − t.
+
+TPU design: the 16 circle taps are 16 static rolls of the image (pure
+shifts — fused by XLA into one stencil), the contiguous-arc test is a
+log-step run-length computation on the doubled mask, and non-max
+suppression is a 3x3 max-pool comparison. Everything is (H, W) dense and
+batches over leading axes.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# 16-point Bresenham circle of radius 3, clockwise (standard FAST layout).
+CIRCLE = jnp.array([
+    (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+    (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1)])
+
+
+def _taps(img: jnp.ndarray) -> jnp.ndarray:
+    """(16, H, W) circle intensities via static rolls (zero-ish borders are
+    handled by the caller's border margin)."""
+    return jnp.stack(
+        [jnp.roll(img, (-int(dy), -int(dx)), axis=(-2, -1))
+         for dy, dx in CIRCLE.tolist()], axis=0)
+
+
+def _max_contiguous_run(mask: jnp.ndarray) -> jnp.ndarray:
+    """Maximum circular run of True along axis 0 of a (16, ...) mask, via
+    log-doubling on the doubled sequence (run length capped at 16)."""
+    m = jnp.concatenate([mask, mask], axis=0).astype(jnp.int32)  # (32, ...)
+    # run[i] = length of the run of ones starting at i (suffix runs).
+    run = m
+    shift = 1
+    # After k steps run[i] counts min(2^k, true run). 5 steps cover 32.
+    for _ in range(5):
+        shifted = jnp.concatenate(
+            [run[shift:], jnp.zeros_like(run[:shift])], axis=0)
+        run = jnp.where(m > 0, jnp.minimum(run + shifted, 32), 0)
+        shift *= 2
+    return jnp.minimum(jnp.max(run[:16], axis=0), 16)
+
+
+def fast_score(img: jnp.ndarray, threshold: float = 0.08,
+               arc: int = 9) -> jnp.ndarray:
+    """Corner response map (…, H, W) -> (…, H, W) float score.
+
+    Score = contrast margin when the contiguous-arc test passes, else 0.
+    `threshold` plays the role of MinContrast (initialize_a_feature.m:30)
+    on [0, 1] images.
+    """
+    taps = _taps(img)
+    diff = taps - img[None]
+    bright = diff > threshold
+    dark = diff < -threshold
+    run_b = _max_contiguous_run(bright)
+    run_d = _max_contiguous_run(dark)
+    is_corner = (run_b >= arc) | (run_d >= arc)
+    # Response: mean absolute contrast of the qualifying taps (a smooth
+    # stand-in for the OpenCV score; ordering is what matters downstream).
+    margin = jnp.mean(
+        jnp.where(bright | dark, jnp.abs(diff) - threshold, 0.0), axis=0)
+    score = jnp.where(is_corner, margin, 0.0)
+    # Zero the 3-px border the rolls wrapped around.
+    H, W = img.shape[-2:]
+    yy = jnp.arange(H)[:, None]
+    xx = jnp.arange(W)[None, :]
+    interior = (yy >= 3) & (yy < H - 3) & (xx >= 3) & (xx < W - 3)
+    return score * interior
+
+
+def non_max_suppress(score: jnp.ndarray, radius: int = 1) -> jnp.ndarray:
+    """Keep only local maxima within a (2r+1)² window."""
+    H, W = score.shape[-2:]
+    neigh = score
+    for dy in range(-radius, radius + 1):
+        for dx in range(-radius, radius + 1):
+            if dy == 0 and dx == 0:
+                continue
+            neigh = jnp.maximum(
+                neigh, jnp.roll(score, (dy, dx), axis=(-2, -1)))
+    return jnp.where(score >= neigh, score, 0.0)
+
+
+def top_corners(score: jnp.ndarray, k: int):
+    """Top-k corners of a suppressed score map. Returns (yx (k, 2) int32,
+    scores (k,)); zero-score entries mean 'no corner'."""
+    import jax
+    H, W = score.shape[-2:]
+    flat = score.reshape(score.shape[:-2] + (H * W,))
+    vals, idx = jax.lax.top_k(flat, k)
+    yx = jnp.stack([idx // W, idx % W], axis=-1).astype(jnp.int32)
+    return yx, vals

@@ -1,0 +1,108 @@
+"""Keypoint, retrieval, geometric-verification and loop-fusion tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ekf_slam_tpu.config import EngineConfig
+from ekf_slam_tpu.filter import loop_fusion
+from ekf_slam_tpu.filter.state import init_state
+from ekf_slam_tpu.models import keypoints as kp_mod
+from ekf_slam_tpu.models import loopclosure as lc
+
+
+def test_kp_descriptor_shapes_and_peaks():
+    B, H, W, C = 2, 16, 16, 6
+    img = jax.random.normal(jax.random.key(0), (B, H, W, C))
+    # Plant a dominant peak for channel 0 in the top-left cell.
+    img = img.at[0, 2, 3, 0].set(100.0)
+    kps = kp_mod.kp_descriptor(img)
+    K = kp_mod.GRID * kp_mod.GRID * C
+    assert kps.yx.shape == (B, K, 2)
+    assert kps.descr.shape == (B, K, 8 * C)
+    # Keypoint 0 of image 0 (cell 0, channel 0) is the planted peak.
+    assert tuple(np.asarray(kps.yx[0, 0]).astype(int)) == (2, 3)
+    assert float(kps.response[0, 0]) == 100.0
+
+
+def test_ratio_test_identifies_matches():
+    d = jax.random.normal(jax.random.key(1), (10, 8))
+    idx, valid = kp_mod.ratio_test_matches(d, d, ratio=0.7)
+    # Self-matching: every point matches itself with distance ~0.
+    np.testing.assert_array_equal(np.asarray(idx), np.arange(10))
+    assert bool(jnp.all(valid))
+
+
+def test_fundamental_ransac_planar_shift():
+    """Points displaced by a pure translation admit a consistent epipolar
+    geometry; random correspondences do not."""
+    cfg = lc.LoopConfig(ransac_hypotheses=32, ransac_threshold=1.0)
+    key = jax.random.key(2)
+    pts1 = jax.random.uniform(key, (64, 2)) * 100.0
+    pts2 = pts1 + jnp.array([3.0, 0.0])
+    valid = jnp.ones(64, bool)
+    inl = lc.fundamental_ransac(pts1, pts2, valid, cfg, jax.random.key(3))
+    assert int(inl) >= 50
+    pts2_rand = jax.random.uniform(jax.random.key(4), (64, 2)) * 100.0
+    inl_rand = lc.fundamental_ransac(pts1, pts2_rand, valid, cfg,
+                                     jax.random.key(5))
+    assert int(inl_rand) < int(inl)
+
+
+def _push_frames(db, descrs, kps, poses):
+    for i in range(descrs.shape[0]):
+        db = lc.push(db, descrs[i], jax.tree.map(lambda a: a[i], kps),
+                     poses[i])
+    return db
+
+
+def test_loop_retrieval_end_to_end():
+    """A revisited place (same descriptor + keypoints) must be retrieved and
+    pass geometric verification; temporal filter fires after C hits."""
+    cfg = lc.LoopConfig(capacity=64, top_k=4, exclude_recent=8, min_db=0,
+                        sim_threshold=0.8, min_inliers=10,
+                        consistency_count=3, consistency_window=2,
+                        ransac_hypotheses=16)
+    Dd, K, Dk = 32, 24, 16
+    db = lc.init_db(cfg, Dd, K, Dk)
+    key = jax.random.key(6)
+    descrs = jax.random.normal(key, (20, Dd))
+    descrs = descrs / jnp.linalg.norm(descrs, axis=-1, keepdims=True)
+    kp_yx = jax.random.uniform(jax.random.key(7), (20, K, 2)) * 60.0
+    kp_d = jax.random.normal(jax.random.key(8), (20, K, Dk))
+    kps = kp_mod.Keypoints(yx=kp_yx, response=jnp.ones((20, K)),
+                           orientation=jnp.zeros((20, K)), descr=kp_d)
+    poses = jnp.concatenate(
+        [jax.random.normal(jax.random.key(9), (20, 3)),
+         jnp.tile(jnp.array([[1.0, 0, 0, 0]]), (20, 1))], axis=-1)
+    db = _push_frames(db, descrs, kps, poses)
+
+    # Query with frame 2's content (revisit): keypoints shifted by 1 px.
+    q_kp = kp_mod.Keypoints(
+        yx=kp_yx[2] + 1.0, response=jnp.ones(K),
+        orientation=jnp.zeros(K), descr=kp_d[2])
+    declared = False
+    for t in range(4):
+        res = lc.query(db, descrs[2], q_kp, cfg, jax.random.key(20 + t))
+        assert int(res.best_id) == 2
+        assert bool(res.is_hypothesis)
+        db, d, loop_id = lc.step_temporal(db, res, cfg)
+        declared = declared or bool(d)
+    assert declared
+    assert int(loop_id) == 2
+
+
+def test_loop_constraint_pulls_position():
+    cfg = EngineConfig()
+    st = init_state(cfg)
+    P = st.P.at[0:3, 0:3].set(jnp.eye(3) * 1.0)  # uncertain position
+    z = jnp.array([0.5, -0.2, 0.1], st.x.dtype)
+    x_new, P_new = loop_fusion.apply_loop_constraint(
+        st.x, P, z, sigma=0.01, enabled=jnp.asarray(True))
+    np.testing.assert_allclose(np.asarray(x_new[0:3]), np.asarray(z),
+                               atol=1e-3)
+    # Disabled: no-op on the mean.
+    x_same, _ = loop_fusion.apply_loop_constraint(
+        st.x, P, z, sigma=0.01, enabled=jnp.asarray(False))
+    np.testing.assert_allclose(np.asarray(x_same[0:3]),
+                               np.asarray(st.x[0:3]), atol=1e-6)

@@ -1,0 +1,121 @@
+"""CALC2-class model tests: shapes, losses, one train step, DP sharding.
+
+Mirrors the reference's implicit correctness signals (SURVEY.md §4): NaN
+checks on all four losses (calc2.py:311-313) and loss-goes-down on fixed
+seeds.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from ekf_slam_tpu.data import class_weights, synthetic_batch
+from ekf_slam_tpu.models import augment, losses, train
+from ekf_slam_tpu.models.vss import VSS, VSSConfig, grouped_depth_to_space
+
+HW = (32, 32)  # small-but-divisible-by-16 test resolution
+CFG = VSSConfig(width=8)  # tiny width: tests run on a single-CPU host
+
+
+@pytest.fixture(scope="module")
+def model_and_state():
+    model = train.create_model(CFG)
+    tcfg = train.TrainConfig(batch_size=2, image_hw=HW)
+    state = train.init_state(model, tcfg, jax.random.key(0))
+    return model, tcfg, state
+
+
+def test_vss_forward_shapes(model_and_state):
+    model, tcfg, state = model_and_state
+    B, (h, w) = 2, HW
+    imgs = jnp.zeros((B, h, w, 3), jnp.float32)
+    outs = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        imgs, train=False, rngs={"reparam": jax.random.key(1)})
+    assert outs["rec"].shape == (B, h, w, 3)
+    assert outs["seg"].shape == (B, h, w, 13)
+    assert outs["mu"].shape == (B, h // 16, w // 16, 56)
+    d = outs["descriptor"]
+    assert d.shape == (B, (h // 16) * (w // 16) * 56)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(d), axis=-1), 1.0,
+                               rtol=1e-5)
+
+
+def test_grouped_depth_to_space_matches_per_group():
+    x = jax.random.normal(jax.random.key(0), (2, 4, 4, 3 * 8))
+    out = grouped_depth_to_space(x, heads=3, r=2)
+    assert out.shape == (2, 8, 8, 3 * 2)
+    # Group g of the output must depend only on group g of the input.
+    x2 = x.at[..., 8:16].set(0.0)   # zero group 1
+    out2 = grouped_depth_to_space(x2, heads=3, r=2)
+    np.testing.assert_array_equal(np.asarray(out[..., 0:2]),
+                                  np.asarray(out2[..., 0:2]))
+    np.testing.assert_array_equal(np.asarray(out[..., 4:6]),
+                                  np.asarray(out2[..., 4:6]))
+    assert np.all(np.asarray(out2[..., 2:4]) == 0)
+
+
+def test_homography_exact_on_corners():
+    src = jnp.array([[[-1., -1.], [-1., 1.], [1., -1.], [1., 1.]]])
+    dst = src * 0.8 + 0.05
+    H = augment.estimate_hom(src, dst)
+    pts = jnp.concatenate([src[0].T, jnp.ones((1, 4))])
+    mapped = H[0] @ pts
+    mapped = mapped[:2] / mapped[2:]
+    np.testing.assert_allclose(np.asarray(mapped.T), np.asarray(dst[0]),
+                               atol=1e-5)
+
+
+def test_hom_warp_identity_gradient():
+    """Identity homography under the reference's grid convention
+    ([-1,1] -> [0,W], layers.py:56-57 — half-pixel offset included): on a
+    linear gradient, bilinear sampling is exact, so the output is the
+    analytically shifted/clamped gradient."""
+    H_, W_ = 16, 24
+    xgrad = jnp.broadcast_to(jnp.arange(W_, dtype=jnp.float32), (H_, W_))
+    img = xgrad[None, :, :, None]
+    out = augment.hom_warp(img, (H_, W_), jnp.eye(3)[None])
+    gx = np.linspace(-1.0, 1.0, W_)
+    expected = np.clip((gx + 1.0) * W_ / 2.0, 0, W_ - 1)
+    np.testing.assert_allclose(np.asarray(out[0, 3, :, 0]), expected,
+                               atol=1e-4)
+
+
+def test_hard_negative_excludes_self():
+    d = jnp.eye(4)  # orthogonal descriptors
+    dn = losses.hard_negative_mine(d)
+    # Nearest non-self neighbor of e_i among {e_j} is some other e_j.
+    assert not np.any(np.all(np.asarray(dn) == np.eye(4), axis=-1))
+
+
+def test_train_step_decreases_loss(model_and_state):
+    model, tcfg, state = model_and_state
+    imgs, labels = synthetic_batch(jax.random.key(2), 2, HW)
+    w = class_weights(labels)
+
+    step = jax.jit(lambda s, r: train.train_step(
+        model, tcfg, s, imgs, labels, w, r))
+    metrics0 = None
+    for i in range(3):
+        state, metrics = step(state, jax.random.key(10 + i))
+        for k, v in metrics.items():
+            assert bool(jnp.isfinite(v)), (k, v)
+        if metrics0 is None:
+            metrics0 = metrics
+    assert float(metrics["loss"]) < float(metrics0["loss"])
+
+
+def test_sharded_train_step_runs():
+    """DP over an 8-device mesh (the MirroredStrategy equivalent)."""
+    model = train.create_model(CFG)
+    tcfg = train.TrainConfig(batch_size=8, image_hw=HW)
+    state = train.init_state(model, tcfg, jax.random.key(0))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    step = train.make_sharded_train_step(model, tcfg, mesh)
+    imgs, labels = synthetic_batch(jax.random.key(3), 8, HW)
+    w = class_weights(labels)
+    state2, metrics = step(state, imgs, labels, w, jax.random.key(4))
+    assert bool(jnp.isfinite(metrics["loss"]))
+    assert int(state2.step) == 1
