@@ -138,6 +138,21 @@ class RansacConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class VisionConfig:
+    """Image front-end (vision/): FAST + NCC matching parameters.
+
+    The search window is static (matching.m derives a dynamic ±2σ box,
+    matching.m:21-27 — here positions beyond the χ² ellipse are masked
+    inside the fixed window instead)."""
+
+    search_radius: int = 12        # static search half-size (px)
+    min_ncc: float = 0.5           # NCC acceptance (crosscorr path)
+    fast_threshold: float = 0.08   # contrast threshold on [0,1] images
+    fast_arc: int = 9              # FAST-9 contiguous arc
+    exclusion_radius: float = 10.0  # min distance to tracked features (px)
+
+
+@dataclasses.dataclass(frozen=True)
 class SimConfig:
     """Synthetic scene generator (replaces the absent image sequence,
     mono_slam.m:21 / SURVEY.md §2.9)."""
@@ -167,6 +182,7 @@ class EngineConfig:
     map: MapConfig = MapConfig()
     matching: MatchingConfig = MatchingConfig()
     ransac: RansacConfig = RansacConfig()
+    vision: VisionConfig = VisionConfig()
     sim: SimConfig = SimConfig()
     dtype: str = "float32"   # compute dtype; "float64" for the oracle path
 

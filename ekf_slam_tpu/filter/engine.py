@@ -93,9 +93,12 @@ def initialize_features(state: FilterState, obs: FrameObs, n_measured,
         state, obs.pixels[picks], take, picks.astype(jnp.int32), cfg)
 
 
-def step(state: FilterState, obs: FrameObs, key: jax.Array,
-         cfg: EngineConfig):
-    """One full SLAM frame. Returns (new_state, StepInfo)."""
+def step_core(state: FilterState, z: jnp.ndarray, z_valid: jnp.ndarray,
+              key: jax.Array, cfg: EngineConfig):
+    """Measurement-source-agnostic SLAM frame: stages 1-7 of the pipeline,
+    given per-slot candidate measurements (z, z_valid) produced either by
+    ground-truth association (sim path, `step`) or by the image front-end
+    (vision/frontend.py). Returns (state, visible, ic, StepInfo)."""
     f = cfg.filter
     cap = state.capacity
 
@@ -107,7 +110,6 @@ def step(state: FilterState, obs: FrameObs, key: jax.Array,
     x_prior, P_prior = ekf.predict(state.x, state.P, f)
 
     # -- 3. measurement prediction + IC gating (search_IC_matches/matching) --
-    z, z_valid = gather_measurements(state, obs)
     h, visible, H_xv, H_y = _linearize(x_prior, P_prior, state, cfg)[:4]
     S = measurement.innovation_covariances(P_prior, H_xv, H_y, f.sigma_z)
     ic = association.individually_compatible(z, z_valid, h, visible, S, cfg)
@@ -138,15 +140,25 @@ def step(state: FilterState, obs: FrameObs, key: jax.Array,
 
     state = state.replace(x=x_post, P=P_post)
 
-    # -- 8. bookkeeping + feature initialization ------------------------------
+    # -- bookkeeping (stage 8 feature init is the caller's, it needs a
+    # measurement source) ------------------------------------------------------
     measured = ic  # update_features_info.m: z non-empty ⇔ IC match stored
     state = mapman.update_counters(state, visible, measured)
-    n_measured = jnp.sum(measured)
-    state = initialize_features(state, obs, n_measured, cfg)
 
     info = StepInfo(
         n_visible=jnp.sum(visible), n_ic=jnp.sum(ic),
         n_li=jnp.sum(li), n_hi=jnp.sum(hi), ransac_support=support)
+    return state, visible, ic, info
+
+
+def step(state: FilterState, obs: FrameObs, key: jax.Array,
+         cfg: EngineConfig):
+    """One full SLAM frame on the sim path (ground-truth association).
+    Returns (new_state, StepInfo)."""
+    z, z_valid = gather_measurements(state, obs)
+    state, visible, ic, info = step_core(state, z, z_valid, key, cfg)
+    # -- 8. feature initialization from the current frame ----------------------
+    state = initialize_features(state, obs, jnp.sum(ic), cfg)
     return state, info
 
 

@@ -114,19 +114,33 @@ def add_features(state: FilterState, uvd: jnp.ndarray, cand_mask: jnp.ndarray,
     uvd: (K, 2) pixels; cand_mask: (K,) bool; lm_ids: (K,) int32
     (ground-truth handles for the sim path; pass -1s otherwise).
     """
-    K = uvd.shape[0]
+    return add_features_assigned(state, uvd, cand_mask, lm_ids, cfg)[0]
 
-    def body(k, st):
+
+def add_features_assigned(state: FilterState, uvd: jnp.ndarray,
+                          cand_mask: jnp.ndarray, lm_ids: jnp.ndarray,
+                          cfg: EngineConfig):
+    """add_features that also reports the slot each candidate landed in
+    (-1 when not added) — the image front-end uses the assignment to store
+    per-slot appearance (add_feature_to_info_vector.m patch/pose fields)."""
+    K = uvd.shape[0]
+    assigned0 = jnp.full((K,), -1, jnp.int32)
+
+    def body(k, carry):
+        st, assigned = carry
         free = ~st.active
         has_free = jnp.any(free)
         slot = jnp.argmax(free)          # first free slot
         do = cand_mask[k] & has_free
         st_added = add_one_feature(st, uvd[k], slot, lm_ids[k], cfg)
-        return jax.tree.map(
+        st = jax.tree.map(
             lambda a, b: jnp.where(
                 jnp.reshape(do, (1,) * a.ndim), b, a), st, st_added)
+        assigned = assigned.at[k].set(
+            jnp.where(do, slot.astype(jnp.int32), -1))
+        return st, assigned
 
-    return jax.lax.fori_loop(0, K, body, state)
+    return jax.lax.fori_loop(0, K, body, (state, assigned0))
 
 
 def delete_features(state: FilterState, cfg: EngineConfig) -> FilterState:

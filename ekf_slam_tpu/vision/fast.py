@@ -34,15 +34,14 @@ def _max_contiguous_run(mask: jnp.ndarray) -> jnp.ndarray:
     """Maximum circular run of True along axis 0 of a (16, ...) mask, via
     log-doubling on the doubled sequence (run length capped at 16)."""
     m = jnp.concatenate([mask, mask], axis=0).astype(jnp.int32)  # (32, ...)
-    # run[i] = length of the run of ones starting at i (suffix runs).
+    # run[i] = run length starting at i, exact once below the cap 2^k:
+    # extend only SATURATED runs (run == 2^k) by the run at i + 2^k.
     run = m
-    shift = 1
-    # After k steps run[i] counts min(2^k, true run). 5 steps cover 32.
-    for _ in range(5):
+    for k in range(5):
+        s = 1 << k
         shifted = jnp.concatenate(
-            [run[shift:], jnp.zeros_like(run[:shift])], axis=0)
-        run = jnp.where(m > 0, jnp.minimum(run + shifted, 32), 0)
-        shift *= 2
+            [run[s:], jnp.zeros_like(run[:s])], axis=0)
+        run = jnp.where(run == s, s + shifted, run)
     return jnp.minimum(jnp.max(run[:16], axis=0), 16)
 
 

@@ -1,0 +1,183 @@
+"""Image front-end: full SLAM-from-pixels pipeline (BASELINE.json configs[3]).
+
+Replaces the reference's CV-toolbox matcher (matching.m) and the
+ROI-box feature initializer (initialize_a_feature.m:22-54) with batched
+TPU-native equivalents, and provides a renderer so the image pipeline is
+testable without the missing sequence (mono_slam.m:21, SURVEY.md §2.9):
+
+* `render_scene_image` — synthesizes a grayscale frame from the landmark
+  field: isotropic Gaussian intensity bumps (separable => two small
+  matmuls), which FAST's contiguous-arc test detects and NCC can lock onto.
+* `Appearance` — per-slot stored 41x41 init patch + init pose + init pixel
+  (the patch_when_initialized / r_wc / uv_when_initialized fields of
+  add_feature_to_info_vector.m:7-32).
+* `measure` — predicted appearance via plane homography (pred_patch_fc) +
+  NCC search in the chi^2-gated window (matching.m) -> (z, z_valid).
+* `select_new_feature_pixels` — FAST corners away from current predictions
+  and the image border. The reference samples random 60x40 ROI boxes until
+  one is empty of predictions (initialize_a_feature.m:22-48, a host-loop
+  idiom); taking global top-K corners OUTSIDE exclusion disks implements the
+  same "spread new features away from tracked ones" policy branchlessly.
+* `step_image` — the whole frame: match -> step_core -> initialize.
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ekf_slam_tpu.config import CAM_DIM, EngineConfig
+from ekf_slam_tpu.filter import ekf, engine, mapman, measurement
+from ekf_slam_tpu.filter.state import FilterState
+from ekf_slam_tpu.ops import quaternion as quat
+from ekf_slam_tpu.sim.scene import Scene
+from ekf_slam_tpu.vision import fast, ncc, patch_warp
+
+INIT_PATCH_HALF = 20   # 41x41 init patch (initialize_a_feature.m:4)
+MATCH_PATCH_HALF = 6   # 13x13 matching patch (initialize_a_feature.m:5)
+BORDER = 21            # image border exclusion (initialize_a_feature.m:22)
+
+
+@flax.struct.dataclass
+class Appearance:
+    patches: jnp.ndarray    # (CAP, 41, 41) init patches
+    init_pose: jnp.ndarray  # (CAP, 7) [r(3) q(4)] camera pose at init
+    init_px: jnp.ndarray    # (CAP, 2) pixel at init
+
+
+def init_appearance(cfg: EngineConfig) -> Appearance:
+    cap = cfg.map.capacity
+    p = 2 * INIT_PATCH_HALF + 1
+    dt = cfg.jnp_dtype
+    return Appearance(
+        patches=jnp.zeros((cap, p, p), dt),
+        init_pose=jnp.zeros((cap, 7), dt).at[:, 3].set(1.0),
+        init_px=jnp.zeros((cap, 2), dt))
+
+
+def render_scene_image(scene: Scene, x_cam: jnp.ndarray,
+                       cfg: EngineConfig) -> jnp.ndarray:
+    """Grayscale (n_rows, n_cols) frame: Gaussian bumps at the projected
+    landmarks over a mid-gray background. Separable kernels keep it to two
+    (H, L) x (L, W) matmuls."""
+    from ekf_slam_tpu.ops import camera as cam_ops
+    cam = cfg.camera
+    L = scene.landmarks.shape[0]
+    t_wc, q_wc = x_cam[0:3], x_cam[3:7]
+    R_wc = quat.q2r(q_wc)
+    hc = (scene.landmarks - t_wc) @ R_wc
+    ok = hc[:, 2] > 1e-3
+    hc_safe = jnp.where(ok[:, None], hc, jnp.array([0.0, 0.0, 1.0],
+                                                   x_cam.dtype))
+    px = cam_ops.distort(cam_ops.project(hc_safe, cam), cam)
+    # Per-landmark deterministic amplitude/width (stable across frames).
+    ids = jnp.arange(L)
+    # int32-safe multiplicative hashes (stay below 2^31 for L <= a few 1e4)
+    amp = 0.35 + 0.45 * ((ids * 69069 % 97) / 96.0)
+    sig = 1.2 + 1.3 * ((ids * 40503 % 89) / 88.0)
+    amp = jnp.where(ok, amp, 0.0)
+    yy = jnp.arange(cam.n_rows, dtype=x_cam.dtype)
+    xx = jnp.arange(cam.n_cols, dtype=x_cam.dtype)
+    gy = jnp.exp(-0.5 * ((yy[:, None] - px[None, :, 1]) / sig) ** 2)  # (H,L)
+    gx = jnp.exp(-0.5 * ((xx[:, None] - px[None, :, 0]) / sig) ** 2)  # (W,L)
+    img = 0.2 + gy @ (amp[:, None] * gx.T)
+    return jnp.clip(img, 0.0, 1.0)
+
+
+def landmark_world_points(state: FilterState) -> jnp.ndarray:
+    """Current 3D point estimate per slot: y + m(θ,φ)/ρ for inverse-depth
+    (inversedepth2cartesian.m:1-12), y for cartesian."""
+    slots = state.slot_values()
+    y3 = slots[:, 0:3]
+    rho = slots[:, 5]
+    safe_rho = jnp.where(rho == 0, jnp.ones_like(rho), rho)
+    mi = quat.azel_to_ray(slots[:, 3], slots[:, 4])
+    p_id = y3 + mi / safe_rho[:, None]
+    return jnp.where(state.cartesian[:, None], y3, p_id)
+
+
+def measure(state: FilterState, app: Appearance, img: jnp.ndarray,
+            cfg: EngineConfig):
+    """Predict appearance + NCC search -> (z, z_valid) for every slot."""
+    f = cfg.filter
+    x_prior, P_prior = ekf.predict(state.x, state.P, f)
+    h, visible, hc = measurement.predict_measurements(
+        x_prior, state.active, state.cartesian, cfg)
+    H_xv, H_y = measurement.jacobians(x_prior, h, hc, state.cartesian,
+                                      cfg.camera)
+    S = measurement.innovation_covariances(P_prior, H_xv, H_y, f.sigma_z)
+    p_w = landmark_world_points(state)
+    templates = patch_warp.predict_appearance(
+        app.patches, app.init_pose, x_prior[:CAM_DIM], p_w,
+        app.init_px, h, cfg.camera, out_size=2 * MATCH_PATCH_HALF + 1)
+    z, score, found = ncc.match_all(
+        img, templates, h, S, visible,
+        cfg.matching.chi2_inv_2_95, cfg.vision.search_radius,
+        cfg.vision.min_ncc)
+    return z, found, h, visible
+
+
+def select_new_feature_pixels(img: jnp.ndarray, pred_px: jnp.ndarray,
+                              pred_mask: jnp.ndarray, cfg: EngineConfig):
+    """Top-K FAST corners outside exclusion disks around predicted features
+    and off the border. Returns (uv (K,2), mask (K,))."""
+    v = cfg.vision
+    score = fast.non_max_suppress(
+        fast.fast_score(img, v.fast_threshold, v.fast_arc))
+    H, W = img.shape
+    yy = jnp.arange(H, dtype=img.dtype)[:, None]
+    xx = jnp.arange(W, dtype=img.dtype)[None, :]
+    border_ok = ((yy >= BORDER) & (yy < H - BORDER)
+                 & (xx >= BORDER) & (xx < W - BORDER))
+    # Exclusion disks: distance to every predicted feature (H*W x CAP).
+    d2 = ((yy[..., None] - pred_px[None, None, :, 1]) ** 2
+          + (xx[..., None] - pred_px[None, None, :, 0]) ** 2)
+    d2 = jnp.where(pred_mask[None, None, :], d2, jnp.inf)
+    clear = jnp.min(d2, axis=-1) > v.exclusion_radius ** 2
+    score = score * border_ok * clear
+    yx, vals = fast.top_corners(score, cfg.map.max_new_per_step)
+    uv = jnp.stack([yx[:, 1], yx[:, 0]], axis=-1).astype(img.dtype)
+    return uv, vals > 0.0
+
+
+def store_appearance(app: Appearance, state: FilterState, img: jnp.ndarray,
+                     uv: jnp.ndarray, assigned: jnp.ndarray) -> Appearance:
+    """Write the 41x41 patch + pose + pixel for candidates that landed in a
+    slot (add_feature_to_info_vector.m patch/pose capture)."""
+    x_cam = state.x[:CAM_DIM]
+    pose = jnp.concatenate([x_cam[0:3], x_cam[3:7]])
+
+    def body(k, a):
+        slot = assigned[k]
+        ok = slot >= 0
+        s = jnp.clip(slot, 0, a.patches.shape[0] - 1)
+        patch = ncc.extract_patch(img, uv[k], INIT_PATCH_HALF)
+        return Appearance(
+            patches=a.patches.at[s].set(
+                jnp.where(ok, patch, a.patches[s])),
+            init_pose=a.init_pose.at[s].set(
+                jnp.where(ok, pose, a.init_pose[s])),
+            init_px=a.init_px.at[s].set(
+                jnp.where(ok, uv[k], a.init_px[s])))
+
+    return jax.lax.fori_loop(0, uv.shape[0], body, app)
+
+
+def step_image(state: FilterState, app: Appearance, img: jnp.ndarray,
+               key: jax.Array, cfg: EngineConfig):
+    """One full SLAM frame from PIXELS (the mono_slam.m per-step pipeline
+    with the toolbox matcher replaced). Returns (state, app, StepInfo)."""
+    z, z_valid, h_pred, pred_vis = measure(state, app, img, cfg)
+    state, visible, ic, info = engine.step_core(state, z, z_valid, key, cfg)
+    # Feature initialization from the current image when starved.
+    need = jnp.sum(ic) < cfg.map.min_features_in_image
+    uv, cand = select_new_feature_pixels(img, h_pred, pred_vis, cfg)
+    k = jnp.arange(uv.shape[0])
+    deficit = jnp.maximum(cfg.map.min_features_in_image - jnp.sum(ic), 0)
+    take = cand & (k < deficit) & need
+    frame_ids = jnp.full((uv.shape[0],), -1, jnp.int32)  # no gt ids here
+    state, assigned = mapman.add_features_assigned(
+        state, uv, take, frame_ids, cfg)
+    app = store_appearance(app, state, img, uv, assigned)
+    return state, app, info

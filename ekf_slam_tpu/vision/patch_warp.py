@@ -1,0 +1,108 @@
+"""Patch appearance prediction via plane-induced homography.
+
+Behavior source: matlab_code/predict_features_appearance.m:1-27 +
+pred_patch_fc.m:1-55 (+ the rotate_with_dist_fc_c1c2/c2c1 point-transfer
+helpers): when a feature is about to be matched, its stored 41x41
+initialization patch is warped into the current view by the homography a
+fronto-parallel plane at the feature induces between the init camera and the
+current camera, then cropped to the 13x13 matching patch.
+
+TPU redesign: the reference warps through per-pixel undistort/rotate/distort
+round trips (rotate_with_dist_fc_c1c2.m:12-17) with interp2. Here the plane
+homography H = K (R − t nᵀ / d) K⁻¹ is composed once per feature in
+UNDISTORTED pixel space and the warp is one batched bilinear gather —
+distortion is a second-order effect over a 13-px patch and the NCC matcher
+is photometric-normalized anyway.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ekf_slam_tpu.config import CameraConfig
+from ekf_slam_tpu.ops import quaternion as quat
+
+
+def camera_matrix(cam: CameraConfig, dtype=jnp.float32) -> jnp.ndarray:
+    fku = cam.f / cam.d
+    return jnp.array([[fku, 0.0, cam.cx],
+                      [0.0, fku, cam.cy],
+                      [0.0, 0.0, 1.0]], dtype)
+
+
+def plane_homography(r1, q1, r2, q2, p_w, cam: CameraConfig) -> jnp.ndarray:
+    """Homography mapping pixels of camera 1 (init pose) to camera 2
+    (current pose) for a plane through world point p_w whose normal is the
+    init viewing ray (fronto-parallel assumption of pred_patch_fc.m:20-38).
+
+    All inputs trailing-batch; returns (..., 3, 3).
+    """
+    K = camera_matrix(cam, p_w.dtype)
+    R1 = quat.q2r(q1)                       # world <- cam1
+    R2 = quat.q2r(q2)
+    # cam2 <- cam1 relative transform
+    R = jnp.swapaxes(R2, -1, -2) @ R1
+    t = jnp.einsum("...ij,...j->...i", jnp.swapaxes(R2, -1, -2), r1 - r2)
+    # plane in cam1 coordinates: normal n1 (unit ray to p), depth d1
+    p1 = jnp.einsum("...ij,...j->...i", jnp.swapaxes(R1, -1, -2), p_w - r1)
+    d1 = jnp.linalg.norm(p1, axis=-1, keepdims=True)
+    d_safe = jnp.where(d1 == 0, jnp.ones_like(d1), d1)
+    n1 = p1 / d_safe
+    H_metric = R + t[..., :, None] * n1[..., None, :] / d_safe[..., None]
+    return K @ H_metric @ jnp.linalg.inv(K)
+
+
+def warp_patch(patch: jnp.ndarray, H: jnp.ndarray, center_src,
+               center_dst, out_size: int) -> jnp.ndarray:
+    """Warp a square patch through H. patch: (P, P) centered at pixel
+    `center_src` (2,) = (u, v) in the source image; output (out, out)
+    centered at `center_dst` in the destination image, sampled by the
+    INVERSE map dst->src (pred_patch_fc.m builds the same meshgrid+interp2).
+    """
+    P = patch.shape[-1]
+    o = out_size // 2
+    d = jnp.arange(-o, o + 1, dtype=patch.dtype)
+    gy, gx = jnp.meshgrid(d, d, indexing="ij")
+    du = gx + center_dst[0]
+    dv = gy + center_dst[1]
+    ones = jnp.ones_like(du)
+    pts = jnp.stack([du, dv, ones], axis=0).reshape(3, -1)
+    Hinv = jnp.linalg.inv(H)
+    src = Hinv @ pts
+    su = src[0] / src[2] - center_src[0] + (P // 2)
+    sv = src[1] / src[2] - center_src[1] + (P // 2)
+    # bilinear gather with clamping
+    x0 = jnp.clip(jnp.floor(su).astype(jnp.int32), 0, P - 2)
+    y0 = jnp.clip(jnp.floor(sv).astype(jnp.int32), 0, P - 2)
+    tx = jnp.clip(su - x0, 0.0, 1.0)
+    ty = jnp.clip(sv - y0, 0.0, 1.0)
+    Ia = patch[y0, x0]
+    Ib = patch[y0 + 1, x0]
+    Ic = patch[y0, x0 + 1]
+    Id = patch[y0 + 1, x0 + 1]
+    out = (Ia * (1 - tx) * (1 - ty) + Ib * (1 - tx) * ty
+           + Ic * tx * (1 - ty) + Id * tx * ty)
+    return out.reshape(out_size, out_size)
+
+
+def predict_appearance(patches: jnp.ndarray, init_pose: jnp.ndarray,
+                       x_cam: jnp.ndarray, p_w: jnp.ndarray,
+                       h_init: jnp.ndarray, h_now: jnp.ndarray,
+                       cam: CameraConfig, out_size: int = 13) -> jnp.ndarray:
+    """Batch over features (predict_features_appearance.m loop, vmapped).
+
+    patches: (CAP, P, P) stored init patches; init_pose: (CAP, 7) [r q] at
+    initialization (add_feature_to_info_vector.m r_wc/R_wc fields);
+    x_cam: (13,) current camera state; p_w: (CAP, 3) current landmark
+    estimates; h_init/h_now: (CAP, 2) pixel locations at init/predicted now.
+    Returns (CAP, out, out) predicted matching patches.
+    """
+    r2 = x_cam[0:3]
+    q2 = x_cam[3:7]
+
+    def one(patch, pose1, p, hi, hn):
+        H = plane_homography(pose1[0:3], pose1[3:7], r2, q2, p, cam)
+        return warp_patch(patch, H, hi, hn, out_size)
+
+    return jax.vmap(one)(patches, init_pose, p_w, h_init, h_now)

@@ -1,0 +1,113 @@
+"""Vision front-end tests: FAST, binary descriptor, NCC, patch warp, and the
+full SLAM-from-pixels pipeline on rendered frames."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ekf_slam_tpu.config import (EngineConfig, MapConfig, SimConfig,
+                                 VisionConfig)
+from ekf_slam_tpu.filter.state import init_state
+from ekf_slam_tpu.sim import scene as sim_scene
+from ekf_slam_tpu.vision import descriptor, fast, frontend, ncc, patch_warp
+
+
+def blob_image(h=64, w=64, centers=((20, 30), (40, 12)), sigs=None):
+    yy = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(w, dtype=jnp.float32)[None, :]
+    img = jnp.full((h, w), 0.2, jnp.float32)
+    sigs = sigs or [1.5] * len(centers)
+    for (cy, cx), sig in zip(centers, sigs):
+        img = img + 0.7 * jnp.exp(-((yy - cy) ** 2 + (xx - cx) ** 2)
+                                  / (2 * sig * sig))
+    return jnp.clip(img, 0.0, 1.0)
+
+
+def test_fast_detects_blobs():
+    img = blob_image()
+    score = fast.non_max_suppress(fast.fast_score(img, 0.08, 9))
+    yx, vals = fast.top_corners(score, 4)
+    found = {tuple(np.asarray(yx[i])) for i in range(2)}
+    assert (20, 30) in found and (40, 12) in found
+    assert float(vals[0]) > 0
+
+
+def test_fast_rejects_flat_and_edge():
+    img = jnp.full((32, 32), 0.5, jnp.float32)
+    img = img.at[:, 16:].set(0.9)      # vertical step edge
+    score = fast.fast_score(img, 0.08, 9)
+    # Flat regions and straight edges fail the 9-contiguous test.
+    assert float(jnp.max(score)) == 0.0
+
+
+def test_binary_descriptor_matches_same_patch():
+    # Distinct blob widths -> distinct binary patterns per keypoint.
+    img = blob_image(centers=((20, 30), (40, 12), (50, 50)),
+                     sigs=(1.0, 2.0, 3.5))
+    yx = jnp.array([[20, 30], [40, 12], [50, 50]], jnp.int32)
+    d = descriptor.describe(img, yx)
+    idx, ok = descriptor.match(d, d, max_distance=10.0)
+    np.testing.assert_array_equal(np.asarray(idx), np.arange(3))
+    assert bool(jnp.all(ok))
+
+
+def test_ncc_finds_shifted_template():
+    img = blob_image()
+    tmpl = img[20 - 6:20 + 7, 30 - 6:30 + 7]    # 13x13 around the blob
+    h_pred = jnp.array([27.0, 17.0])            # (u, v) ~3 px off truth
+    S = jnp.eye(2) * 25.0
+    z, score, found = ncc.match_feature(
+        img, tmpl, h_pred, S, chi2_gate=5.9915, search_radius=8,
+        min_ncc=0.5)
+    assert bool(found)
+    np.testing.assert_allclose(np.asarray(z), [30.0, 20.0], atol=0.5)
+    assert float(score) > 0.9
+
+
+def test_patch_warp_identity_pose():
+    """Same pose at init and now -> homography = I -> patch round-trips."""
+    cfg = EngineConfig()
+    img = blob_image()
+    patch = ncc.extract_patch(img, jnp.array([30.0, 20.0]), 20)
+    H = patch_warp.plane_homography(
+        jnp.zeros(3), jnp.array([1.0, 0, 0, 0]),
+        jnp.zeros(3), jnp.array([1.0, 0, 0, 0]),
+        jnp.array([0.0, 0.0, 3.0]), cfg.camera)
+    np.testing.assert_allclose(np.asarray(H), np.eye(3), atol=1e-5)
+    out = patch_warp.warp_patch(
+        patch, H, jnp.array([30.0, 20.0]), jnp.array([30.0, 20.0]), 13)
+    ref = ncc.extract_patch(img, jnp.array([30.0, 20.0]), 6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+@pytest.mark.slow
+def test_slam_from_pixels_e2e():
+    """Full image pipeline: render frames -> FAST init -> NCC track -> EKF.
+    This is the reference's whole mono_slam loop from pixels (configs[3])."""
+    cfg = EngineConfig(
+        map=MapConfig(capacity=24, min_features_in_image=10,
+                      max_new_per_step=10),
+        vision=VisionConfig(search_radius=10, min_ncc=0.4),
+        sim=SimConfig(num_landmarks=40, depth_min=2.0, depth_max=6.0,
+                      v_init=(0.002, 0.0, 0.004), w_init=(0.0, 0.001, 0.0),
+                      traj_accel_std=2e-4, traj_alpha_std=2e-4))
+    T = 8
+    scn, xs, _ = sim_scene.simulate(jax.random.key(0), cfg, T)
+    render = jax.jit(frontend.render_scene_image, static_argnames="cfg")
+    st = init_state(cfg)
+    app = frontend.init_appearance(cfg)
+
+    step = jax.jit(frontend.step_image, static_argnames="cfg")
+    # Bootstrap: run one step on frame 0 (no features yet -> init only).
+    n_ic = []
+    for t in range(T):
+        img = render(scn, xs[t], cfg)
+        st, app, info = step(st, app, img, jax.random.key(10 + t), cfg)
+        n_ic.append(int(info.n_ic))
+    assert int(jnp.sum(st.active)) >= 10
+    # After bootstrap the tracker actually matches features from pixels.
+    assert n_ic[-1] >= 5, n_ic
+    assert bool(jnp.all(jnp.isfinite(st.x)))
+    pos_err = float(jnp.linalg.norm(st.x[0:3] - xs[-1][0:3]))
+    assert pos_err < 0.1, pos_err
