@@ -1,0 +1,4 @@
+from ekf_slam_tpu.viz.plots import (plot_frame, plot_map_3d,
+                                    uncertainty_ellipse_points)
+
+__all__ = ["plot_frame", "plot_map_3d", "uncertainty_ellipse_points"]

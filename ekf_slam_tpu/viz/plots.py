@@ -1,0 +1,119 @@
+"""Visualization reproducing the reference's overlay semantics (plots.m).
+
+Color code (plots.m:13,26-50):
+  thick red    — low-innovation inliers (RANSAC consensus)
+  thin red     — high-innovation rescued inliers
+  magenta      — individually compatible but RANSAC-rejected
+  blue         — predicted but unmatched
+95% ellipses are the chi^2(2)-scaled innovation covariances; the 3D view
+shows the trajectory polyline, landmark estimates, and per-landmark
+uncertainty ellipsoids (plots.m:73-116 / plotUncertainEllip3D.m).
+
+Matplotlib is an optional dependency: importing this module works without
+it; calling the plot functions raises a clear error if absent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+CHI2_2_95 = 5.9915   # matching.m:2
+CHI2_3_95 = 7.8147
+
+
+def _mpl():
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        return plt
+    except ImportError as e:  # pragma: no cover
+        raise ImportError("matplotlib is required for viz") from e
+
+
+def uncertainty_ellipse_points(S: np.ndarray, center: np.ndarray,
+                               chi2: float = CHI2_2_95, n: int = 32):
+    """Cholesky-mapped unit circle at the chi^2 radius
+    (plotUncertainEllip2D.m:1-20); falls back to the symmetrized matrix if
+    not PD (the reference prints a warning and skips)."""
+    S = 0.5 * (S + S.T)
+    try:
+        L = np.linalg.cholesky(S)
+    except np.linalg.LinAlgError:
+        w, V = np.linalg.eigh(S)
+        L = V @ np.diag(np.sqrt(np.maximum(w, 0.0)))
+    t = np.linspace(0, 2 * np.pi, n)
+    circle = np.stack([np.cos(t), np.sin(t)])
+    return center[:, None] + np.sqrt(chi2) * (L @ circle)
+
+
+def plot_frame(ax_or_path, image, h_pred, S, visible, ic, li, hi):
+    """Image overlay with the plots.m color code. `image` may be None
+    (ellipses only). Saves to path if a str is given."""
+    plt = _mpl()
+    own = isinstance(ax_or_path, str)
+    if own:
+        fig, ax = plt.subplots(figsize=(6, 4.5))
+    else:
+        ax = ax_or_path
+    if image is not None:
+        ax.imshow(np.asarray(image), cmap="gray", vmin=0, vmax=1)
+    h_pred = np.asarray(h_pred)
+    S = np.asarray(S)
+    groups = [
+        (np.asarray(visible) & ~np.asarray(ic), "tab:blue", 0.8, "unmatched"),
+        (np.asarray(ic) & ~np.asarray(li) & ~np.asarray(hi), "magenta", 0.8,
+         "IC, RANSAC-rejected"),
+        (np.asarray(hi), "red", 0.8, "HI inlier"),
+        (np.asarray(li), "red", 2.0, "LI inlier"),
+    ]
+    for mask, color, lw, label in groups:
+        first = True
+        for i in np.nonzero(mask)[0]:
+            pts = uncertainty_ellipse_points(S[i], h_pred[i])
+            ax.plot(pts[0], pts[1], color=color, lw=lw,
+                    label=label if first else None)
+            first = False
+    ax.legend(loc="upper right", fontsize=6)
+    ax.set_title("thick red: LI / thin red: HI / magenta: rejected / "
+                 "blue: unmatched", fontsize=7)
+    if own:
+        fig.savefig(ax_or_path, dpi=110)
+        plt.close(fig)
+
+
+def plot_map_3d(path, traj, landmarks, landmark_cov=None, active=None,
+                truth_traj=None):
+    """3D trajectory + landmark map (plots.m:73-116)."""
+    plt = _mpl()
+    fig = plt.figure(figsize=(6, 5))
+    ax = fig.add_subplot(projection="3d")
+    traj = np.asarray(traj)
+    ax.plot(traj[:, 0], traj[:, 1], traj[:, 2], "k-", lw=1.5,
+            label="estimate")
+    if truth_traj is not None:
+        t = np.asarray(truth_traj)
+        ax.plot(t[:, 0], t[:, 1], t[:, 2], "g--", lw=1.0, label="truth")
+    lm = np.asarray(landmarks)
+    if active is not None:
+        lm = lm[np.asarray(active)]
+    ax.scatter(lm[:, 0], lm[:, 1], lm[:, 2], s=6, c="tab:red",
+               label="landmarks")
+    if landmark_cov is not None:
+        for i, C in enumerate(np.asarray(landmark_cov)):
+            if active is not None and not np.asarray(active)[i]:
+                continue
+            w, V = np.linalg.eigh(0.5 * (C + C.T))
+            r = np.sqrt(np.maximum(w, 0.0) * CHI2_3_95)
+            u = np.linspace(0, 2 * np.pi, 12)
+            v = np.linspace(0, np.pi, 8)
+            sph = np.stack([np.outer(np.cos(u), np.sin(v)),
+                            np.outer(np.sin(u), np.sin(v)),
+                            np.outer(np.ones_like(u), np.cos(v))])
+            pts = np.einsum("ij,j...->i...", V * r, sph)
+            ax.plot_wireframe(pts[0] + lm[i, 0], pts[1] + lm[i, 1],
+                              pts[2] + lm[i, 2], color="tab:red",
+                              lw=0.3, alpha=0.4)
+    ax.legend(fontsize=7)
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
