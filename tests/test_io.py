@@ -1,0 +1,80 @@
+"""Native + fallback image-sequence loader tests (takeImage.m parity)."""
+
+import numpy as np
+import pytest
+
+from ekf_slam_tpu.io import (ImageSequence, build_native, load_pgm,
+                             native_available)
+from ekf_slam_tpu.io.sequence import _load_pgm_numpy
+
+
+def write_pgm(path, arr, binary=True, maxval=255):
+    h, w = arr.shape
+    if binary:
+        with open(path, "wb") as f:
+            f.write(f"P5\n# test comment\n{w} {h}\n{maxval}\n".encode())
+            f.write(arr.astype(np.uint8).tobytes())
+    else:
+        with open(path, "w") as f:
+            f.write(f"P2\n{w} {h}\n{maxval}\n")
+            f.write(" ".join(str(int(v)) for v in arr.ravel()))
+
+
+def write_ppm(path, arr_rgb):
+    h, w, _ = arr_rgb.shape
+    with open(path, "wb") as f:
+        f.write(f"P6\n{w} {h}\n255\n".encode())
+        f.write(arr_rgb.astype(np.uint8).tobytes())
+
+
+@pytest.fixture(scope="module")
+def seq_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("seq")
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (5, 24, 32), dtype=np.uint8)
+    for i, fr in enumerate(frames):
+        write_pgm(str(d / f"{i:04d}.pgm"), fr)
+    return d, frames
+
+
+def test_numpy_fallback_pgm(seq_dir):
+    d, frames = seq_dir
+    got = _load_pgm_numpy(str(d / "0000.pgm"))
+    np.testing.assert_allclose(got, frames[0] / 255.0, atol=1e-7)
+
+
+def test_ascii_pgm(tmp_path):
+    arr = np.arange(12, dtype=np.uint8).reshape(3, 4) * 20
+    write_pgm(str(tmp_path / "a.pgm"), arr, binary=False)
+    got = _load_pgm_numpy(str(tmp_path / "a.pgm"))
+    np.testing.assert_allclose(got, arr / 255.0, atol=1e-7)
+
+
+def test_native_builds_and_matches(seq_dir):
+    d, frames = seq_dir
+    if not build_native():
+        pytest.skip("g++ unavailable")
+    assert native_available()
+    got = load_pgm(str(d / "0002.pgm"))
+    np.testing.assert_allclose(got, frames[2] / 255.0, atol=1e-7)
+
+
+def test_sequence_batch_native(seq_dir):
+    d, frames = seq_dir
+    if not build_native():
+        pytest.skip("g++ unavailable")
+    seq = ImageSequence(str(d / "%04d.pgm"), start=0, count=5)
+    assert (seq.height, seq.width) == (24, 32)
+    batch = seq.load(1, 3)
+    assert batch.shape == (3, 24, 32)
+    np.testing.assert_allclose(batch, frames[1:4] / 255.0, atol=1e-7)
+    seq.close()
+
+
+def test_ppm_first_channel(tmp_path):
+    rgb = np.random.default_rng(1).integers(0, 256, (6, 8, 3),
+                                            dtype=np.uint8)
+    write_ppm(str(tmp_path / "c.ppm"), rgb)
+    got = _load_pgm_numpy(str(tmp_path / "c.ppm"))
+    # takeImage.m keeps the first channel
+    np.testing.assert_allclose(got, rgb[:, :, 0] / 255.0, atol=1e-7)
