@@ -94,6 +94,11 @@ class MapConfig:
     max_new_per_step: int = 25                # candidate batch per init pass
     #   (initialize_features.m adds up to the deficit; we cap the per-step
     #   candidate scatter at this static count to stay fixed-shape)
+    # Compact updates: gather at most this many measurement slots into the
+    # EKF update (2*max_update_obs rows instead of 2*capacity). Identical
+    # result whenever <= max_update_obs slots pass the inlier masks; excess
+    # inliers are dropped (lowest slot indices win). 0 = full-width updates.
+    max_update_obs: int = 64
     # delete policy (replaces the missing delete_features.m, SURVEY.md §2.9)
     delete_min_predictions: int = 5
     delete_measured_ratio: float = 0.5

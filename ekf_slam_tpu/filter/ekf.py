@@ -67,14 +67,25 @@ def update(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray, z: jnp.ndarray,
 
     PHt = P @ H.T                              # (D, M)
     S = H @ PHt + jnp.diag(r_eff)              # (M, M), SPD
-    chol = jax.lax.linalg.cholesky(S)
-    # K = P Hᵀ S⁻¹ computed as triangular solves: S Kᵀ = (P Hᵀ)ᵀ.
-    Kt = jax.scipy.linalg.cho_solve((chol, True), PHt.T)  # (M, D)
-    x_new = x + Kt.T @ nu
-    # P ← P − K S Kᵀ, then symmetrize (update.m:13-14).
-    P_new = P - Kt.T @ (S @ Kt)
+    # W = S⁻¹ via Cholesky (the reference uses a plain inv(S), update.m:9).
+    # Materializing the M×M inverse keeps the sequential triangular work at
+    # O(M³) and turns the D-sized work into pure MXU matmuls — much faster
+    # on TPU than triangular-solving M×D right-hand sides.
+    W = _spd_inverse(S)
+    K = PHt @ W                                # (D, M)
+    x_new = x + K @ nu
+    # P ← P − K S Kᵀ = P − K (P Hᵀ)ᵀ, then symmetrize (update.m:13-14).
+    P_new = P - K @ PHt.T
     P_new = 0.5 * (P_new + P_new.T)
     return _renormalize_quaternion(x_new, P_new)
+
+
+def _spd_inverse(S: jnp.ndarray) -> jnp.ndarray:
+    """SPD inverse via Cholesky: S⁻¹ = L⁻ᵀ L⁻¹."""
+    chol = jax.lax.linalg.cholesky(S)
+    eye = jnp.eye(S.shape[-1], dtype=S.dtype)
+    Linv = jax.scipy.linalg.solve_triangular(chol, eye, lower=True)
+    return Linv.T @ Linv
 
 
 def _renormalize_quaternion(x: jnp.ndarray, P: jnp.ndarray):
@@ -108,24 +119,22 @@ def update_iterated(x: jnp.ndarray, P: jnp.ndarray, z: jnp.ndarray,
     r_eff = jnp.where(row_mask, r_diag, jnp.ones_like(r_diag))
     x0 = x
 
-    def body(_, xi):
+    def gain(xi):
         h, H = h_fn(xi)
         H = H * mask[:, None]
-        nu = (z - h) * mask - H @ (x0 - xi)
         PHt = P @ H.T
         S = H @ PHt + jnp.diag(r_eff)
-        chol = jax.lax.linalg.cholesky(S)
-        Kt = jax.scipy.linalg.cho_solve((chol, True), PHt.T)
-        return x0 + Kt.T @ nu
+        K = PHt @ _spd_inverse(S)
+        return h, H, PHt, K
+
+    def body(_, xi):
+        h, H, PHt, K = gain(xi)
+        nu = (z - h) * mask - H @ (x0 - xi)
+        return x0 + K @ nu
 
     xi = jax.lax.fori_loop(0, num_iters, body, x)
     # Final covariance at the last linearization point.
-    h, H = h_fn(xi)
-    H = H * mask[:, None]
-    PHt = P @ H.T
-    S = H @ PHt + jnp.diag(r_eff)
-    chol = jax.lax.linalg.cholesky(S)
-    Kt = jax.scipy.linalg.cho_solve((chol, True), PHt.T)
-    P_new = P - Kt.T @ (S @ Kt)
+    _, _, PHt, K = gain(xi)
+    P_new = P - K @ PHt.T
     P_new = 0.5 * (P_new + P_new.T)
     return _renormalize_quaternion(xi, P_new)

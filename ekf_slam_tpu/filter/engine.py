@@ -89,8 +89,8 @@ def initialize_features(state: FilterState, obs: FrameObs, n_measured,
     take = (candidate[picks]
             & (k < deficit)
             & need)
-    return mapman.add_features(
-        state, obs.pixels[picks], take, picks.astype(jnp.int32), cfg)
+    return mapman.add_features_batch(
+        state, obs.pixels[picks], take, picks.astype(jnp.int32), cfg)[0]
 
 
 def step_core(state: FilterState, z: jnp.ndarray, z_valid: jnp.ndarray,
@@ -120,11 +120,8 @@ def step_core(state: FilterState, z: jnp.ndarray, z_valid: jnp.ndarray,
         x_prior, P_prior, z, h, H_dense, S, ic, state.cartesian, key, cfg)
 
     # -- 5. LI update from the prior (ekf_update_li_inliers.m; R = I there) ---
-    row_mask_li = jnp.repeat(li, 2)
-    H_li = measurement.dense_H(H_xv, H_y, li)
-    x_post, P_post = ekf.update(
-        x_prior, P_prior, H_li, z.reshape(-1), h.reshape(-1), row_mask_li,
-        jnp.ones(2 * cap, x_prior.dtype))
+    x_post, P_post = _masked_update(
+        x_prior, P_prior, H_xv, H_y, z, h, li, cfg)
 
     # -- 6. HI rescue from the posterior (rescue_hi_inliers.m) ----------------
     h2, vis2, H_xv2, H_y2 = _linearize(x_post, P_post, state, cfg)[:4]
@@ -132,11 +129,8 @@ def step_core(state: FilterState, z: jnp.ndarray, z_valid: jnp.ndarray,
     hi = association.rescue_high_innovation(z, h2, S_noR, ic & vis2, li, cfg)
 
     # -- 7. HI update from the posterior (ekf_update_hi_inliers.m; R = I) -----
-    row_mask_hi = jnp.repeat(hi, 2)
-    H_hi = measurement.dense_H(H_xv2, H_y2, hi)
-    x_post, P_post = ekf.update(
-        x_post, P_post, H_hi, z.reshape(-1), h2.reshape(-1), row_mask_hi,
-        jnp.ones(2 * cap, x_post.dtype))
+    x_post, P_post = _masked_update(
+        x_post, P_post, H_xv2, H_y2, z, h2, hi, cfg)
 
     state = state.replace(x=x_post, P=P_post)
 
@@ -160,6 +154,26 @@ def step(state: FilterState, obs: FrameObs, key: jax.Array,
     # -- 8. feature initialization from the current frame ----------------------
     state = initialize_features(state, obs, jnp.sum(ic), cfg)
     return state, info
+
+
+def _masked_update(x, P, H_xv, H_y, z, h, slot_mask, cfg: EngineConfig):
+    """EKF update over the masked slots. With max_update_obs = M > 0 the M
+    most-relevant slots (inliers first) are GATHERED into a compact (2M, D)
+    Jacobian — the solve shrinks from 2*CAP to 2M rows; identical result
+    whenever the inlier count fits in M (tests/test_compact_update.py)."""
+    cap = slot_mask.shape[0]
+    M = cfg.map.max_update_obs
+    if M <= 0 or M >= cap:
+        H = measurement.dense_H(H_xv, H_y, slot_mask)
+        return ekf.update(
+            x, P, H, z.reshape(-1), h.reshape(-1), jnp.repeat(slot_mask, 2),
+            jnp.ones(2 * cap, x.dtype))
+    sel = jnp.argsort(~slot_mask)[:M]          # inlier slots first (stable)
+    sel_mask = slot_mask[sel]
+    H = measurement.compact_dense_H(H_xv[sel], H_y[sel], sel, sel_mask, cap)
+    return ekf.update(
+        x, P, H, z[sel].reshape(-1), h[sel].reshape(-1),
+        jnp.repeat(sel_mask, 2), jnp.ones(2 * M, x.dtype))
 
 
 def _linearize(x, P, state: FilterState, cfg: EngineConfig):

@@ -117,6 +117,76 @@ def add_features(state: FilterState, uvd: jnp.ndarray, cand_mask: jnp.ndarray,
     return add_features_assigned(state, uvd, cand_mask, lm_ids, cfg)[0]
 
 
+def add_features_batch(state: FilterState, uvd: jnp.ndarray,
+                       cand_mask: jnp.ndarray, lm_ids: jnp.ndarray,
+                       cfg: EngineConfig):
+    """Batched equivalent of the sequential append loop
+    (add_features_inverse_depth.m:20-23): all K candidates' rows, diagonal
+    blocks AND their mutual cross-covariances are computed in closed form
+    and scattered into P in O(1) full-matrix writes instead of K.
+
+    Sequential append j-after-i gives P[j-block, i-block] =
+    dy_j P11 dy_iᵀ (feature j reads columns feature i just wrote, which are
+    P11 dy_iᵀ) — exactly the (i, j) cross term of the batch formula, so the
+    result is bit-identical in exact arithmetic
+    (tests/test_mapman_batch.py::test_batch_add_matches_sequential).
+
+    Returns (state, assigned (K,) int32 slot per candidate, -1 if skipped).
+    """
+    m = cfg.map
+    K = uvd.shape[0]
+    dtype = state.x.dtype
+    x_cam = state.x[:CAM_DIM]
+
+    # --- slot assignment: k-th accepted candidate -> k-th free slot ---------
+    free = ~state.active                                    # (CAP,)
+    free_slots = jnp.argsort(~free)                         # free first
+    n_free = jnp.sum(free)
+    rank = jnp.cumsum(cand_mask.astype(jnp.int32)) - 1     # (K,) rank among accepted
+    ok = cand_mask & (rank < n_free)
+    slot = free_slots[jnp.clip(rank, 0, state.capacity - 1)]
+    assigned = jnp.where(ok, slot.astype(jnp.int32), -1)
+
+    # --- batched feature values + Jacobians ---------------------------------
+    y = cam_ops.back_project_inverse_depth(
+        uvd, jnp.broadcast_to(x_cam[0:3], (K, 3)), x_cam[3:7],
+        m.initial_rho, cfg.camera)                                # (K, 6)
+    dy_dxv, dy_dhd = jax.vmap(
+        lambda uv: add_feature_jacobians(uv, x_cam, cfg))(uvd)    # (K,6,13/3)
+    Padd = jnp.diag(jnp.array(
+        [cfg.filter.sigma_z**2, cfg.filter.sigma_z**2, m.std_rho**2], dtype))
+
+    P = state.P
+    D = P.shape[0]
+    rows = dy_dxv @ P[:CAM_DIM, :]                          # (K, 6, D)
+    P11 = P[:CAM_DIM, :CAM_DIM]
+    cross = jnp.einsum("kij,jl,mnl->kmin", dy_dxv, P11, dy_dxv)  # (K,K,6,6)
+    noise = jnp.einsum("kij,jl,knl->kin", dy_dhd, Padd, dy_dhd)  # (K,6,6)
+    cross = cross + noise[:, None] * jnp.eye(K, dtype=dtype)[:, :, None, None]
+
+    # --- scatter (dropped rows for rejected candidates via OOB indices) -----
+    row_idx = jnp.where(ok[:, None], CAM_DIM + 6 * slot[:, None]
+                        + jnp.arange(6)[None], D)           # (K, 6); D = OOB
+    flat_idx = row_idx.reshape(-1)                          # (6K,)
+    P = P.at[flat_idx, :].set(rows.reshape(6 * K, D), mode="drop")
+    P = P.at[:, flat_idx].set(rows.reshape(6 * K, D).T, mode="drop")
+    cross_flat = cross.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
+    P = P.at[flat_idx[:, None], flat_idx[None, :]].set(cross_flat,
+                                                       mode="drop")
+    x = state.x.at[flat_idx].set(y.reshape(-1), mode="drop")
+
+    sl = jnp.where(ok, slot, state.capacity)                # OOB drop
+    z32 = jnp.zeros((K,), jnp.int32)
+    return state.replace(
+        x=x, P=P,
+        active=state.active.at[sl].set(True, mode="drop"),
+        cartesian=state.cartesian.at[sl].set(False, mode="drop"),
+        times_predicted=state.times_predicted.at[sl].set(z32, mode="drop"),
+        times_measured=state.times_measured.at[sl].set(z32, mode="drop"),
+        landmark_id=state.landmark_id.at[sl].set(lm_ids, mode="drop"),
+    ), assigned
+
+
 def add_features_assigned(state: FilterState, uvd: jnp.ndarray,
                           cand_mask: jnp.ndarray, lm_ids: jnp.ndarray,
                           cfg: EngineConfig):

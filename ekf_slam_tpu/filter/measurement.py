@@ -19,6 +19,7 @@ its 6-wide slot (state.py layout); the angular/rho H columns are zeroed.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ekf_slam_tpu.config import CAM_DIM, CameraConfig, EngineConfig
@@ -171,6 +172,27 @@ def dense_H(H_xv: jnp.ndarray, H_y: jnp.ndarray,
     eye = jnp.eye(cap, dtype=dtype)
     Hy = jnp.einsum("nj,nck->ncjk", eye, H_y * m).reshape(2 * cap, 6 * cap)
     return jnp.concatenate([Hxv, Hy], axis=1)
+
+
+def compact_dense_H(H_xv: jnp.ndarray, H_y: jnp.ndarray,
+                    slots: jnp.ndarray, row_mask: jnp.ndarray,
+                    cap: int) -> jnp.ndarray:
+    """Dense Jacobian for a GATHERED subset of M slots: (2M, 13+6*cap).
+
+    H_xv: (M, 2, 13), H_y: (M, 2, 6) — rows already gathered at `slots`
+    (M,); row_mask (M,) zeroes inactive rows. The landmark block lands at
+    column offset 6*slots[m] via a one-hot matmul (static shapes, no
+    scatter). With M << CAP this shrinks the update solve from 2*CAP to 2M
+    rows; identical math when every masked-in measurement is among the M
+    (tests/test_compact_update.py).
+    """
+    M = H_xv.shape[0]
+    dtype = H_xv.dtype
+    mask = row_mask.astype(dtype)[:, None, None]
+    Hxv = (H_xv * mask).reshape(2 * M, CAM_DIM)
+    onehot = jax.nn.one_hot(slots, cap, dtype=dtype)        # (M, CAP)
+    Hy = jnp.einsum("mc,mij->micj", onehot, H_y * mask)     # (M,2,CAP,6)
+    return jnp.concatenate([Hxv, Hy.reshape(2 * M, 6 * cap)], axis=1)
 
 
 def predict_and_linearize(x: jnp.ndarray, P: jnp.ndarray, state: FilterState,

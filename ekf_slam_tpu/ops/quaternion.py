@@ -261,6 +261,53 @@ def r2rpy(R: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([roll, pitch, yaw], axis=-1)
 
 
+def r2q(R: jnp.ndarray) -> jnp.ndarray:
+    """Rotation matrix -> unit quaternion [w x y z] — the reference's
+    missing `tr2q` (called from jacob_rpy2q via F_test_rpy2q.m:6,
+    SURVEY.md §2.9). Branchless Shepperd-style selection of the largest
+    of the four squared components (stable for every rotation)."""
+    r00, r11, r22 = R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]
+    t = r00 + r11 + r22
+    # Four candidate 4*q_i^2 values.
+    qw2 = 1.0 + t
+    qx2 = 1.0 + r00 - r11 - r22
+    qy2 = 1.0 - r00 + r11 - r22
+    qz2 = 1.0 - r00 - r11 + r22
+    # Build all four candidate quaternions; pick by argmax (vectorizes).
+    s_w = 2.0 * jnp.sqrt(jnp.maximum(qw2, 1e-12))
+    cand_w = jnp.stack([
+        s_w / 4.0,
+        (R[..., 2, 1] - R[..., 1, 2]) / s_w,
+        (R[..., 0, 2] - R[..., 2, 0]) / s_w,
+        (R[..., 1, 0] - R[..., 0, 1]) / s_w], axis=-1)
+    s_x = 2.0 * jnp.sqrt(jnp.maximum(qx2, 1e-12))
+    cand_x = jnp.stack([
+        (R[..., 2, 1] - R[..., 1, 2]) / s_x,
+        s_x / 4.0,
+        (R[..., 0, 1] + R[..., 1, 0]) / s_x,
+        (R[..., 0, 2] + R[..., 2, 0]) / s_x], axis=-1)
+    s_y = 2.0 * jnp.sqrt(jnp.maximum(qy2, 1e-12))
+    cand_y = jnp.stack([
+        (R[..., 0, 2] - R[..., 2, 0]) / s_y,
+        (R[..., 0, 1] + R[..., 1, 0]) / s_y,
+        s_y / 4.0,
+        (R[..., 1, 2] + R[..., 2, 1]) / s_y], axis=-1)
+    s_z = 2.0 * jnp.sqrt(jnp.maximum(qz2, 1e-12))
+    cand_z = jnp.stack([
+        (R[..., 1, 0] - R[..., 0, 1]) / s_z,
+        (R[..., 0, 2] + R[..., 2, 0]) / s_z,
+        (R[..., 1, 2] + R[..., 2, 1]) / s_z,
+        s_z / 4.0], axis=-1)
+    mags = jnp.stack([qw2, qx2, qy2, qz2], axis=-1)
+    cands = jnp.stack([cand_w, cand_x, cand_y, cand_z], axis=-2)
+    best = jnp.argmax(mags, axis=-1)
+    q = jnp.take_along_axis(
+        cands, best[..., None, None].repeat(4, -1), axis=-2)[..., 0, :]
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    # Canonical sign: w >= 0.
+    return q * jnp.where(q[..., 0:1] < 0, -1.0, 1.0)
+
+
 def dq_by_deuler(euler: jnp.ndarray) -> jnp.ndarray:
     """4x3 ∂q/∂(rpy) small-angle closed form (dq_by_deuler.m:1-10)."""
     r, p, y = euler[..., 0] / 2, euler[..., 1] / 2, euler[..., 2] / 2

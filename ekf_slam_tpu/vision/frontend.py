@@ -177,7 +177,7 @@ def step_image(state: FilterState, app: Appearance, img: jnp.ndarray,
     deficit = jnp.maximum(cfg.map.min_features_in_image - jnp.sum(ic), 0)
     take = cand & (k < deficit) & need
     frame_ids = jnp.full((uv.shape[0],), -1, jnp.int32)  # no gt ids here
-    state, assigned = mapman.add_features_assigned(
+    state, assigned = mapman.add_features_batch(
         state, uv, take, frame_ids, cfg)
     app = store_appearance(app, state, img, uv, assigned)
     return state, app, info

@@ -82,8 +82,34 @@ def plot_frame(ax_or_path, image, h_pred, S, visible, ic, li, hi):
         plt.close(fig)
 
 
+def chi2_shell_samples(dim: int = 6, n: int = 1000, seed: int = 0,
+                       chi2=None) -> np.ndarray:
+    """Random points on the chi^2 95% shell of a `dim`-dim unit Gaussian —
+    generate_random_6D_sphere.m:1-14 (1000 points scaled to the
+    chi^2_95(6) = 12.5916 radius), used by plotUncertainSurfaceXZ.m."""
+    chi2 = {2: CHI2_2_95, 3: CHI2_3_95, 6: 12.5916}.get(dim, chi2) \
+        if chi2 is None else chi2
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n, dim))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    return v * np.sqrt(chi2)
+
+
+def draw_camera(ax, r, R, scale=0.1, color="k"):
+    """Camera frustum glyph at pose (r, R) — the reference's missing
+    draw_camera (plots.m:73, SURVEY.md §2.9)."""
+    corners = np.array([[-1, -1, 2.0], [1, -1, 2.0], [1, 1, 2.0],
+                        [-1, 1, 2.0]]) * scale
+    pts = (np.asarray(R) @ corners.T).T + np.asarray(r)
+    order = [0, 1, 2, 3, 0]
+    ax.plot(pts[order, 0], pts[order, 1], pts[order, 2], color=color, lw=0.8)
+    for p in pts:
+        ax.plot([r[0], p[0]], [r[1], p[1]], [r[2], p[2]], color=color,
+                lw=0.6)
+
+
 def plot_map_3d(path, traj, landmarks, landmark_cov=None, active=None,
-                truth_traj=None):
+                truth_traj=None, camera_R=None):
     """3D trajectory + landmark map (plots.m:73-116)."""
     plt = _mpl()
     fig = plt.figure(figsize=(6, 5))
@@ -91,6 +117,8 @@ def plot_map_3d(path, traj, landmarks, landmark_cov=None, active=None,
     traj = np.asarray(traj)
     ax.plot(traj[:, 0], traj[:, 1], traj[:, 2], "k-", lw=1.5,
             label="estimate")
+    if camera_R is not None:
+        draw_camera(ax, traj[-1, 0:3], camera_R)
     if truth_traj is not None:
         t = np.asarray(truth_traj)
         ax.plot(t[:, 0], t[:, 1], t[:, 2], "g--", lw=1.0, label="truth")

@@ -1,0 +1,37 @@
+"""Compact gathered update == full-width masked update (exact)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ekf_slam_tpu.config import EngineConfig, MapConfig, SimConfig
+from ekf_slam_tpu.filter import engine
+from ekf_slam_tpu.filter.state import init_state
+from ekf_slam_tpu.sim import scene as sim_scene
+
+
+def test_step_compact_equals_full():
+    base = dict(capacity=32, min_features_in_image=12, max_new_per_step=12)
+    cfg_full = EngineConfig(
+        map=MapConfig(max_update_obs=0, **base),
+        sim=SimConfig(num_landmarks=48), dtype="float64")
+    cfg_cmp = EngineConfig(
+        map=MapConfig(max_update_obs=16, **base),
+        sim=SimConfig(num_landmarks=48), dtype="float64")
+
+    scn, xs, obs = sim_scene.simulate(jax.random.key(0), cfg_full, 6)
+    st = engine.bootstrap(init_state(cfg_full),
+                          jax.tree.map(lambda a: a[0], obs), cfg_full)
+
+    runf = jax.jit(engine.run_sequence, static_argnames="cfg")
+    f_final, f_traj, f_info = runf(st, obs, jax.random.key(1), cfg_full)
+    c_final, c_traj, c_info = runf(st, obs, jax.random.key(1), cfg_cmp)
+
+    # Same RANSAC key -> same inlier sets; 12 tracked features < 16 = M, so
+    # the gathered update touches the same rows and must agree exactly.
+    np.testing.assert_array_equal(np.asarray(f_info.n_li),
+                                  np.asarray(c_info.n_li))
+    np.testing.assert_allclose(np.asarray(f_traj), np.asarray(c_traj),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(f_final.P),
+                               np.asarray(c_final.P), atol=1e-8)

@@ -50,8 +50,19 @@ def main():
 
     f = cfg.filter
 
-    full = jax.jit(jax.vmap(lambda s, k: engine.step(s, obs1, k, cfg)[0].x))
+    full = jax.jit(jax.vmap(lambda s, k: engine.step(s, obs1, k, cfg)[0]))
     timeit("FULL step", full, stb, keys)
+
+    M = cfg.map.max_update_obs
+    z0, zv0 = jax.vmap(engine.gather_measurements)(stb, jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape), obs1))
+    cmp_upd = jax.jit(jax.vmap(
+        lambda s, z_, m_: engine._masked_update(
+            s.x, s.P,
+            *measurement.predict_and_linearize(s.x, s.P, s, cfg)[2:4],
+            z_, measurement.predict_and_linearize(s.x, s.P, s, cfg)[0],
+            m_, cfg)))
+    timeit(f"compact update (M={M})", cmp_upd, stb, z0, zv0)
 
     predict = jax.jit(jax.vmap(lambda s: ekf.predict(s.x, s.P, f)))
     xP = timeit("predict", predict, stb)
