@@ -1,0 +1,93 @@
+"""Sharded record pipeline (the gen_tfrecords.py equivalent, tfrecord-free).
+
+The reference serializes COCO-Stuff into 100 tfrecord shards of
+(320x320 image, mask) pairs plus inverse-class-frequency loss weights
+("CALC 2.0"/dataset/gen_tfrecords.py:21,41-167). TPU-native equivalent:
+compressed .npz shards (no TF dependency) with the same content contract:
+
+  images  : (N, H, W, 3) uint8
+  labels  : (N, H, W)   uint8   — 13-class CALC ids (data/classes.py)
+  weights : (13,) float32       — running inverse class frequencies
+
+`write_shards` builds them from any (image, label) iterator — the COCO
+adapter (data/coco.py) or the synthetic generator. `ShardReader` streams
+shuffled batches for training.
+"""
+
+from __future__ import annotations
+
+import glob as globlib
+import os
+from typing import Iterator, Tuple
+
+import numpy as np
+
+from ekf_slam_tpu.data.classes import N_CALC_CLASSES
+
+
+def write_shards(out_dir: str, pairs: Iterator[Tuple[np.ndarray, np.ndarray]],
+                 shard_size: int = 256, num_shards: int | None = None):
+    """pairs yields (image uint8 (H,W,3), label uint8 (H,W)). Returns the
+    number of shards written. Also writes loss_weights.txt
+    (gen_tfrecords.py:162-167 running-mean scheme)."""
+    os.makedirs(out_dir, exist_ok=True)
+    freq_mean = np.zeros(N_CALC_CLASSES, np.float64)
+    n_seen = 0
+    shard, imgs, labs = 0, [], []
+
+    def flush():
+        nonlocal shard, imgs, labs
+        if not imgs:
+            return
+        np.savez_compressed(
+            os.path.join(out_dir, f"shard_{shard:05d}.npz"),
+            images=np.stack(imgs), labels=np.stack(labs))
+        shard += 1
+        imgs, labs = [], []
+
+    for img, lab in pairs:
+        imgs.append(img.astype(np.uint8))
+        labs.append(lab.astype(np.uint8))
+        counts = np.bincount(lab.reshape(-1), minlength=N_CALC_CLASSES)
+        frac = counts / lab.size
+        n_seen += 1
+        freq_mean += (frac - freq_mean) / n_seen   # running mean
+        if len(imgs) >= shard_size:
+            flush()
+        if num_shards is not None and shard >= num_shards:
+            break
+    flush()
+    weights = 1.0 / np.maximum(freq_mean, 1e-4)
+    np.savetxt(os.path.join(out_dir, "loss_weights.txt"), weights)
+    return shard
+
+
+def load_weights(data_dir: str) -> np.ndarray:
+    return np.loadtxt(os.path.join(data_dir, "loss_weights.txt")).astype(
+        np.float32)
+
+
+class ShardReader:
+    """Shuffled epoch iterator over .npz shards -> float batches."""
+
+    def __init__(self, data_dir: str, batch_size: int, seed: int = 0):
+        self.paths = sorted(globlib.glob(os.path.join(data_dir,
+                                                      "shard_*.npz")))
+        if not self.paths:
+            raise FileNotFoundError(f"no shards under {data_dir}")
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+
+    def __iter__(self):
+        order = self.rng.permutation(len(self.paths))
+        for si in order:
+            with np.load(self.paths[si]) as shard:
+                imgs = shard["images"]
+                labs = shard["labels"]
+            idx = self.rng.permutation(len(imgs))
+            for i in range(0, len(idx) - self.batch_size + 1,
+                           self.batch_size):
+                sel = idx[i:i + self.batch_size]
+                x = imgs[sel].astype(np.float32) / 255.0
+                y = np.eye(N_CALC_CLASSES, dtype=np.float32)[labs[sel]]
+                yield x, y

@@ -1,0 +1,53 @@
+"""Data pipeline tests: class taxonomy, record shards, synthetic batches."""
+
+import numpy as np
+
+from ekf_slam_tpu.data import synthetic_batch, class_weights
+from ekf_slam_tpu.data.classes import (CALC_CLASSES, CALC_CLASS_NAMES,
+                                       COCO_TO_CALC, N_CALC_CLASSES,
+                                       coco_to_calc_lut)
+from ekf_slam_tpu.data.records import ShardReader, load_weights, write_shards
+
+import jax
+
+
+def test_class_tables():
+    assert N_CALC_CLASSES == 13
+    assert CALC_CLASS_NAMES[0] == "background"
+    assert CALC_CLASSES["sky"] == 8
+    # every COCO-stuff id 0..92 maps somewhere
+    assert set(COCO_TO_CALC) == set(range(93))
+    lut = coco_to_calc_lut()
+    assert lut.shape == (93,)
+    assert lut[15] == CALC_CLASSES["sky"]          # clouds -> sky
+    assert lut[5] == CALC_CLASSES["building"]      # building-other
+    assert lut[64] == CALC_CLASSES["water"]        # sea
+
+
+def test_records_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+
+    def pairs():
+        for _ in range(10):
+            img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+            lab = rng.integers(0, 13, (32, 32), dtype=np.uint8)
+            yield img, lab
+
+    n = write_shards(str(tmp_path), pairs(), shard_size=4)
+    assert n >= 2
+    w = load_weights(str(tmp_path))
+    assert w.shape == (13,) and np.all(w > 0)
+
+    reader = ShardReader(str(tmp_path), batch_size=2)
+    x, y = next(iter(reader))
+    assert x.shape == (2, 32, 32, 3) and x.max() <= 1.0
+    assert y.shape == (2, 32, 32, 13)
+    np.testing.assert_allclose(y.sum(-1), 1.0)
+
+
+def test_synthetic_batch_structure():
+    imgs, labels = synthetic_batch(jax.random.key(0), 2, (32, 32))
+    assert imgs.shape == (2, 32, 32, 3)
+    assert labels.shape == (2, 32, 32, 13)
+    w = class_weights(labels)
+    assert w.shape == (13,)
