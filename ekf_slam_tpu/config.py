@@ -79,6 +79,10 @@ class FilterConfig:
     w_0: float = 1e-15
     std_w_0: float = 0.025
     eps_pose: float = 2.220446049250313e-16  # MATLAB eps on pose diagonal
+    # Iterated (Gauss-Newton) low-innovation update — the reference's
+    # intended-but-missing IEKF path (ekf_update_iterated.m, SURVEY.md §2.9)
+    use_iterated_update: bool = False
+    iekf_iterations: int = 3
 
 
 @dataclasses.dataclass(frozen=True)

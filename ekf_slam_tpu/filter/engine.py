@@ -119,9 +119,15 @@ def step_core(state: FilterState, z: jnp.ndarray, z_valid: jnp.ndarray,
     li, support = ransac.run(
         x_prior, P_prior, z, h, H_dense, S, ic, state.cartesian, key, cfg)
 
-    # -- 5. LI update from the prior (ekf_update_li_inliers.m; R = I there) ---
-    x_post, P_post = _masked_update(
-        x_prior, P_prior, H_xv, H_y, z, h, li, cfg)
+    # -- 5. LI update from the prior (ekf_update_li_inliers.m; R = I there).
+    # With use_iterated_update the LI step relinearizes (Gauss-Newton IEKF,
+    # the ekf_update_iterated.m intent).
+    if f.use_iterated_update:
+        x_post, P_post = _masked_update_iterated(
+            x_prior, P_prior, z, li, state, cfg)
+    else:
+        x_post, P_post = _masked_update(
+            x_prior, P_prior, H_xv, H_y, z, h, li, cfg)
 
     # -- 6. HI rescue from the posterior (rescue_hi_inliers.m) ----------------
     h2, vis2, H_xv2, H_y2 = _linearize(x_post, P_post, state, cfg)[:4]
@@ -174,6 +180,30 @@ def _masked_update(x, P, H_xv, H_y, z, h, slot_mask, cfg: EngineConfig):
     return ekf.update(
         x, P, H, z[sel].reshape(-1), h[sel].reshape(-1),
         jnp.repeat(sel_mask, 2), jnp.ones(2 * M, x.dtype))
+
+
+def _masked_update_iterated(x, P, z, slot_mask, state: FilterState,
+                            cfg: EngineConfig):
+    """Gauss-Newton iterated LI update over the gathered inlier slots
+    (ekf.update_iterated with a re-linearizing h_fn)."""
+    cap = slot_mask.shape[0]
+    M = cfg.map.max_update_obs
+    if M <= 0 or M >= cap:
+        sel = jnp.arange(cap)
+    else:
+        sel = jnp.argsort(~slot_mask)[:M]
+    sel_mask = slot_mask[sel]
+
+    def h_fn(xi):
+        h_i, _, H_xv_i, H_y_i = _linearize(xi, P, state, cfg)[:4]
+        H = measurement.compact_dense_H(
+            H_xv_i[sel], H_y_i[sel], sel, sel_mask, cap)
+        return h_i[sel].reshape(-1), H
+
+    return ekf.update_iterated(
+        x, P, z[sel].reshape(-1), h_fn, jnp.repeat(sel_mask, 2),
+        jnp.ones(2 * sel.shape[0], x.dtype),
+        num_iters=cfg.filter.iekf_iterations)
 
 
 def _linearize(x, P, state: FilterState, cfg: EngineConfig):

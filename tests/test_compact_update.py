@@ -35,3 +35,22 @@ def test_step_compact_equals_full():
                                atol=1e-10)
     np.testing.assert_allclose(np.asarray(f_final.P),
                                np.asarray(c_final.P), atol=1e-8)
+
+
+def test_iterated_engine_step_runs_and_tracks():
+    """IEKF-mode engine (configs[3] ekf_update_iterated path) stays finite
+    and tracks on the sim sequence."""
+    import dataclasses
+    from ekf_slam_tpu.config import FilterConfig
+    cfg = EngineConfig(
+        filter=FilterConfig(use_iterated_update=True, iekf_iterations=2),
+        map=MapConfig(capacity=32, min_features_in_image=12,
+                      max_new_per_step=12, max_update_obs=16),
+        sim=SimConfig(num_landmarks=48), dtype="float64")
+    scn, xs, obs = sim_scene.simulate(jax.random.key(2), cfg, 6)
+    st = engine.bootstrap(init_state(cfg),
+                          jax.tree.map(lambda a: a[0], obs), cfg)
+    run = jax.jit(engine.run_sequence, static_argnames="cfg")
+    final, traj, info = run(st, obs, jax.random.key(3), cfg)
+    assert bool(jnp.all(jnp.isfinite(final.x)))
+    assert int(info.n_li[-1]) >= 5
