@@ -164,26 +164,45 @@ def add_features_batch(state: FilterState, uvd: jnp.ndarray,
     noise = jnp.einsum("kij,jl,knl->kin", dy_dhd, Padd, dy_dhd)  # (K,6,6)
     cross = cross + noise[:, None] * jnp.eye(K, dtype=dtype)[:, :, None, None]
 
-    # --- scatter (dropped rows for rejected candidates via OOB indices) -----
-    row_idx = jnp.where(ok[:, None], CAM_DIM + 6 * slot[:, None]
-                        + jnp.arange(6)[None], D)           # (K, 6); D = OOB
-    flat_idx = row_idx.reshape(-1)                          # (6K,)
-    P = P.at[flat_idx, :].set(rows.reshape(6 * K, D), mode="drop")
-    P = P.at[:, flat_idx].set(rows.reshape(6 * K, D).T, mode="drop")
-    cross_flat = cross.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
-    P = P.at[flat_idx[:, None], flat_idx[None, :]].set(cross_flat,
-                                                       mode="drop")
-    x = state.x.at[flat_idx].set(y.reshape(-1), mode="drop")
+    # --- scatter-free write-back --------------------------------------------
+    # Dynamic scatters into P (especially along columns) serialize on TPU
+    # (measured: 116 ms of a 241 ms step at B=512). Instead, expand the K
+    # candidate blocks to slot-indexed layout with ONE-HOT MATMULS (MXU
+    # work) and blend with masked selects (pure bandwidth).
+    cap = state.capacity
+    onehot = jax.nn.one_hot(jnp.where(ok, slot, cap), cap,
+                            dtype=dtype)                     # (K, CAP)
+    new_slot = jnp.einsum("kc->c", onehot) > 0               # (CAP,)
+    dim_new = jnp.concatenate([jnp.zeros(CAM_DIM, bool),
+                               jnp.repeat(new_slot, 6)])     # (D,)
 
-    sl = jnp.where(ok, slot, state.capacity)                # OOB drop
-    z32 = jnp.zeros((K,), jnp.int32)
+    rows_lm = jnp.einsum("kc,kid->cid", onehot, rows)        # (CAP, 6, D)
+    rows_full = jnp.concatenate(
+        [jnp.zeros((CAM_DIM, D), dtype), rows_lm.reshape(6 * cap, D)])
+    cross_lm = jnp.einsum("kc,md,kmij->cidj", onehot, onehot,
+                          cross).reshape(6 * cap, 6 * cap)   # (6CAP, 6CAP)
+
+    P = jnp.where(dim_new[:, None], rows_full, P)
+    P = jnp.where(dim_new[None, :], rows_full.T, P)
+    both = dim_new[CAM_DIM:, None] & dim_new[None, CAM_DIM:]
+    P = P.at[CAM_DIM:, CAM_DIM:].set(
+        jnp.where(both, cross_lm, P[CAM_DIM:, CAM_DIM:]))
+
+    y_full = jnp.concatenate([
+        jnp.zeros(CAM_DIM, dtype),
+        jnp.einsum("kc,ki->ci", onehot, y).reshape(-1)])
+    x = jnp.where(dim_new, y_full, state.x)
+
+    lm_new = jnp.einsum("kc,k->c", onehot,
+                        lm_ids.astype(dtype)).astype(jnp.int32)
+    z32 = jnp.zeros((cap,), jnp.int32)
     return state.replace(
         x=x, P=P,
-        active=state.active.at[sl].set(True, mode="drop"),
-        cartesian=state.cartesian.at[sl].set(False, mode="drop"),
-        times_predicted=state.times_predicted.at[sl].set(z32, mode="drop"),
-        times_measured=state.times_measured.at[sl].set(z32, mode="drop"),
-        landmark_id=state.landmark_id.at[sl].set(lm_ids, mode="drop"),
+        active=state.active | new_slot,
+        cartesian=state.cartesian & ~new_slot,
+        times_predicted=jnp.where(new_slot, z32, state.times_predicted),
+        times_measured=jnp.where(new_slot, z32, state.times_measured),
+        landmark_id=jnp.where(new_slot, lm_new, state.landmark_id),
     ), assigned
 
 
