@@ -119,6 +119,59 @@ def make_sharded_train_step(model: VSS, tcfg: TrainConfig, mesh: Mesh):
         out_shardings=(repl, repl))
 
 
+def fit(model: VSS, tcfg: TrainConfig, batches, num_steps: int,
+        mesh: Optional[Mesh] = None, eval_fn=None, ckpt_dir=None,
+        logger=None, rng=None):
+    """Training loop — the utils.train_and_eval equivalent (utils.py:526-588):
+    Adam + clip, checkpoint every tcfg.ckpt_every steps (keep-all), optional
+    eval callback, console/metrics logging.
+
+    batches: iterator of (images, labels_onehot); cycled if exhausted.
+    """
+    import itertools
+    import os as _os
+
+    rng = jax.random.key(tcfg.seed) if rng is None else rng
+    state = init_state(model, tcfg, rng)
+    if mesh is not None:
+        step_fn = make_sharded_train_step(model, tcfg, mesh)
+    else:
+        step_fn = jax.jit(lambda s, i, l, w, r: train_step(
+            model, tcfg, s, i, l, w, r))
+    it = itertools.cycle(batches) if hasattr(batches, "__len__") else batches
+    metrics = {}
+    for step_i in range(num_steps):
+        images, labels = next(it)
+        images = jnp.asarray(images)
+        labels = jnp.asarray(labels)
+        w = jnp.asarray(1.0 / jnp.maximum(
+            jnp.mean(labels, axis=(0, 1, 2)), 1e-3))
+        rng, k = jax.random.split(rng)
+        state, metrics = step_fn(state, images, labels, w, k)
+        if logger is not None:
+            logger.log(step_i, **{k_: float(v) for k_, v in metrics.items()})
+        if ckpt_dir and (step_i + 1) % tcfg.ckpt_every == 0:
+            save_checkpoint(
+                _os.path.join(ckpt_dir, f"ckpt_{step_i + 1:07d}"), state)
+        if eval_fn is not None and (step_i + 1) % tcfg.ckpt_every == 0:
+            eval_fn(state, step_i)
+    return state, metrics
+
+
+def find_best_checkpoint(ckpt_dir: str, template: TrainState, eval_fn):
+    """Sweep saved checkpoints by an eval score (test_net.py:357-381).
+    eval_fn(state) -> float score (higher better). Returns (path, score)."""
+    import glob as _glob
+    import os as _os
+    best = (None, -float("inf"))
+    for path in sorted(_glob.glob(_os.path.join(ckpt_dir, "ckpt_*"))):
+        state = restore_checkpoint(path, template)
+        score = float(eval_fn(state))
+        if score > best[1]:
+            best = (path, score)
+    return best
+
+
 # ----------------------------------------------------------------- checkpoint
 
 def save_checkpoint(path: str, state: TrainState):
