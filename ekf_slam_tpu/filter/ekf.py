@@ -75,8 +75,11 @@ def update(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray, z: jnp.ndarray,
     K = PHt @ W                                # (D, M)
     x_new = x + K @ nu
     # P ← P − K S Kᵀ = P − K (P Hᵀ)ᵀ, then symmetrize (update.m:13-14).
-    P_new = P - K @ PHt.T
-    P_new = 0.5 * (P_new + P_new.T)
+    # The downdate, symmetrization and quaternion-renorm row/col rewrites
+    # are expressed as one concat-based pipeline so XLA fuses them into a
+    # minimal number of full-P memory passes (the update is HBM-bound).
+    P_new = 0.5 * (P - K @ PHt.T)
+    P_new = P_new + P_new.T
     return _renormalize_quaternion(x_new, P_new)
 
 
@@ -90,12 +93,15 @@ def _spd_inverse(S: jnp.ndarray) -> jnp.ndarray:
 
 def _renormalize_quaternion(x: jnp.ndarray, P: jnp.ndarray):
     """q ← q/|q| with covariance correction P ← T P Tᵀ, T = I except the
-    4x4 normJac block on the quaternion rows/cols (update.m:18-24)."""
+    4x4 normJac block on the quaternion rows/cols (update.m:18-24).
+
+    Concat-based row/col replacement (static slices) instead of .at[] sets:
+    fuses with the caller's downdate instead of forcing full-P copies."""
     J = quat.norm_jac(x[3:7])
     rows = J @ P[3:7, :]                       # (4, D)
-    P = P.at[3:7, :].set(rows)
-    cols = P[:, 3:7] @ J.T                     # (D, 4) — includes the 4x4 block
-    P = P.at[:, 3:7].set(cols)
+    P = jnp.concatenate([P[:3, :], rows, P[7:, :]], axis=0)
+    cols = P[:, 3:7] @ J.T                     # (D, 4) — incl. the 4x4 block
+    P = jnp.concatenate([P[:, :3], cols, P[:, 7:]], axis=1)
     x = x.at[3:7].set(x[3:7] / jnp.linalg.norm(x[3:7]))
     return x, P
 

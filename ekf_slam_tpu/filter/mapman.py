@@ -182,11 +182,13 @@ def add_features_batch(state: FilterState, uvd: jnp.ndarray,
     cross_lm = jnp.einsum("kc,md,kmij->cidj", onehot, onehot,
                           cross).reshape(6 * cap, 6 * cap)   # (6CAP, 6CAP)
 
-    P = jnp.where(dim_new[:, None], rows_full, P)
-    P = jnp.where(dim_new[None, :], rows_full.T, P)
-    both = dim_new[CAM_DIM:, None] & dim_new[None, CAM_DIM:]
-    P = P.at[CAM_DIM:, CAM_DIM:].set(
-        jnp.where(both, cross_lm, P[CAM_DIM:, CAM_DIM:]))
+    # One nested-select expression -> XLA fuses into a single full-P pass.
+    cross_full = jnp.zeros((D, D), dtype).at[CAM_DIM:, CAM_DIM:].set(cross_lm)
+    both = dim_new[:, None] & dim_new[None, :]
+    P = jnp.where(
+        both, cross_full,
+        jnp.where(dim_new[:, None], rows_full,
+                  jnp.where(dim_new[None, :], rows_full.T, P)))
 
     y_full = jnp.concatenate([
         jnp.zeros(CAM_DIM, dtype),
@@ -281,38 +283,64 @@ def convert_to_cartesian(state: FilterState, cfg: EngineConfig) -> FilterState:
     eligible = state.active & ~state.cartesian & (L < m.linearity_threshold)
     do = jnp.any(eligible)
     slot = jnp.argmax(eligible)     # first eligible (reference converts one)
-    off = _slot_slice(slot)
 
-    # J = [I₃ (1/ρ)∂m/∂θ (1/ρ)∂m/∂φ −m/ρ²]  (3x6)
-    th_s, ph_s, rho_s = theta[slot], phi[slot], safe_rho[slot]
+    # Scatter-free (see add_features_batch): one-hot gathers/expansions +
+    # masked selects; `do` folds into the mask so the no-conversion case is
+    # a no-op without a second full-state select pass.
+    D = state.P.shape[0]
+    onehot = jax.nn.one_hot(slot, cap, dtype=dtype) * do    # (CAP,)
+    dim6 = jnp.repeat(onehot, 6)                            # (6CAP,)
+    dim_mask = jnp.concatenate(
+        [jnp.zeros(CAM_DIM, bool), dim6 > 0])               # (D,)
+
+    # J = [I₃ (1/ρ)∂m/∂θ (1/ρ)∂m/∂φ −m/ρ²]  (3x6) at the chosen slot
     J = jnp.concatenate([
         jnp.eye(3, dtype=dtype),
-        (quat.dm_dtheta(theta, phi)[slot] / rho_s)[:, None],
-        (quat.dm_dphi(theta, phi)[slot] / rho_s)[:, None],
-        (-mi[slot] / rho_s**2)[:, None]], axis=1)
-    del th_s, ph_s
+        jnp.einsum("c,ci->i", onehot,
+                   quat.dm_dtheta(theta, phi) / safe_rho[:, None])[:, None],
+        jnp.einsum("c,ci->i", onehot,
+                   quat.dm_dphi(theta, phi) / safe_rho[:, None])[:, None],
+        jnp.einsum("c,ci->i", onehot,
+                   -mi / safe_rho[:, None] ** 2)[:, None]], axis=1)
+
+    # gather the slot's 6 P-rows with a one-hot contraction (no dyn slice)
+    Prows = state.P[CAM_DIM:].reshape(cap, 6, D)
+    slot_rows = jnp.einsum("c,cid->id", onehot, Prows)      # (6, D)
+    new_rows3 = J @ slot_rows                               # (3, D)
+    new_rows = jnp.concatenate(
+        [new_rows3, jnp.zeros((3, D), dtype)], axis=0)      # (6, D)
+    # expand to (D, D) lazily via outer product for the select
+    rows_rep = jnp.concatenate([
+        jnp.zeros((CAM_DIM, D), dtype),
+        jnp.einsum("c,id->cid", onehot, new_rows).reshape(6 * cap, D)])
+
+    # diagonal 6x6 block: J (slot66) Jᵀ in the top-left 3x3, zeros elsewhere
+    sel_cols = jnp.concatenate(
+        [jnp.zeros((CAM_DIM, 6), dtype),
+         jnp.einsum("c,ij->cij", onehot,
+                    jnp.eye(6, dtype=dtype)).reshape(6 * cap, 6)])
+    slot66 = slot_rows @ sel_cols                           # (6, 6)
+    diag33 = J @ slot66 @ J.T
+    diag66 = jnp.zeros((6, 6), dtype).at[0:3, 0:3].set(diag33)
+    diag_rep = jnp.concatenate([
+        jnp.zeros((CAM_DIM, 6), dtype),
+        jnp.einsum("c,ij->cij", onehot, diag66).reshape(6 * cap, 6)])
+    diag_full = diag_rep @ sel_cols.T                       # (D, D) lazy
+
+    P = jnp.where(dim_mask[:, None], rows_rep, state.P)
+    P = jnp.where(dim_mask[None, :], rows_rep.T, P)
+    P = jnp.where(dim_mask[:, None] & dim_mask[None, :], diag_full, P)
 
     # x: slot <- [p, 0, 0, 0]
-    new_slot_x = jnp.concatenate([p[slot], jnp.zeros(3, dtype)])
-    x_new = jax.lax.dynamic_update_slice(state.x, new_slot_x, (off,))
+    new_slot_x = jnp.concatenate([
+        jnp.einsum("c,ci->i", onehot, p), jnp.zeros(3, dtype)])
+    x_rep = jnp.concatenate([
+        jnp.zeros(CAM_DIM, dtype),
+        jnp.einsum("c,i->ci", onehot, new_slot_x).reshape(-1)])
+    x_new = jnp.where(dim_mask, x_rep, state.x)
 
-    # P <- J_all P J_allᵀ: only the slot's 6 rows/cols change; the first 3
-    # become J·(slot rows), the last 3 become zero.
-    slot_rows = jax.lax.dynamic_slice(state.P, (off, 0), (6, state.P.shape[1]))
-    new_rows3 = J @ slot_rows                                   # (3, D)
-    diag33 = J @ jax.lax.dynamic_slice(state.P, (off, off), (6, 6)) @ J.T
-    new_rows = jnp.concatenate(
-        [new_rows3, jnp.zeros((3, state.P.shape[1]), dtype)], axis=0)
-    P = jax.lax.dynamic_update_slice(state.P, new_rows, (off, 0))
-    P = jax.lax.dynamic_update_slice(P, new_rows.T, (0, off))
-    diag66 = jnp.zeros((6, 6), dtype).at[0:3, 0:3].set(diag33)
-    P = jax.lax.dynamic_update_slice(P, diag66, (off, off))
-
-    converted = state.replace(
-        x=x_new, P=P, cartesian=state.cartesian.at[slot].set(True))
-    return jax.tree.map(
-        lambda a, b: jnp.where(jnp.reshape(do, (1,) * a.ndim), b, a),
-        state, converted)
+    return state.replace(
+        x=x_new, P=P, cartesian=state.cartesian | (onehot > 0))
 
 
 def update_counters(state: FilterState, predicted: jnp.ndarray,

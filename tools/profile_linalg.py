@@ -35,8 +35,9 @@ def main():
 
     chol = jax.lax.linalg.cholesky(S)
     eye = jnp.eye(M)
+    eye_b = jnp.broadcast_to(eye, (B, M, M))
     tri = jax.jit(lambda L: jax.scipy.linalg.solve_triangular(
-        L, eye, lower=True))
+        L, eye_b, lower=True))
     timeit("tri-inverse (B,M,M)", tri, chol)
 
     timeit("PHt (B,D,D)@(B,D,M)", jax.jit(
@@ -62,8 +63,10 @@ def main():
         S2 = S[:, :m2, :m2]
         timeit(f"cholesky M={m2}", jax.jit(jax.lax.linalg.cholesky), S2)
         timeit(f"tri-inverse M={m2}", jax.jit(
-            lambda L: jax.scipy.linalg.solve_triangular(
-                L[:, :m2, :m2], jnp.eye(m2), lower=True)), chol)
+            lambda L, m2=m2: jax.scipy.linalg.solve_triangular(
+                L[:, :m2, :m2],
+                jnp.broadcast_to(jnp.eye(m2), (B, m2, m2)),
+                lower=True)), chol)
 
 
 if __name__ == "__main__":
