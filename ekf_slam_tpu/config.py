@@ -83,6 +83,9 @@ class FilterConfig:
     # intended-but-missing IEKF path (ekf_update_iterated.m, SURVEY.md §2.9)
     use_iterated_update: bool = False
     iekf_iterations: int = 3
+    # Fused Pallas covariance-update kernel: "auto" uses it on TPU-class
+    # backends (float32 only), "on"/"off" force it.
+    pallas_update: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

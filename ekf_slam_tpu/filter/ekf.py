@@ -48,7 +48,8 @@ def predict(x: jnp.ndarray, P: jnp.ndarray, cfg: FilterConfig):
 
 
 def update(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray, z: jnp.ndarray,
-           h: jnp.ndarray, row_mask: jnp.ndarray, r_diag: jnp.ndarray):
+           h: jnp.ndarray, row_mask: jnp.ndarray, r_diag: jnp.ndarray,
+           use_pallas: bool = False):
     """Masked EKF measurement update (update.m:1-32).
 
     H: (M, D) dense Jacobian, rows for unused measurements MUST be zero.
@@ -74,10 +75,17 @@ def update(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray, z: jnp.ndarray,
     W = _spd_inverse(S)
     K = PHt @ W                                # (D, M)
     x_new = x + K @ nu
-    # P ← P − K S Kᵀ = P − K (P Hᵀ)ᵀ, then symmetrize (update.m:13-14).
-    # The downdate, symmetrization and quaternion-renorm row/col rewrites
-    # are expressed as one concat-based pipeline so XLA fuses them into a
-    # minimal number of full-P memory passes (the update is HBM-bound).
+    # P ← P − K S Kᵀ = P − K (P Hᵀ)ᵀ, then symmetrize (update.m:13-14) and
+    # quaternion renorm (update.m:18-24). The whole covariance tail is
+    # HBM-bound; on TPU it runs as ONE fused Pallas pass
+    # (ops/pallas_kernels.fused_update_tail) when use_pallas is set.
+    if use_pallas and x.dtype == jnp.float32:
+        from ekf_slam_tpu.ops import pallas_kernels
+        Jq = quat.norm_jac(x_new[3:7])
+        P_new = pallas_kernels.fused_update_tail(P, K, PHt, Jq)
+        x_new = x_new.at[3:7].set(
+            x_new[3:7] / jnp.linalg.norm(x_new[3:7]))
+        return x_new, P_new
     P_new = 0.5 * (P - K @ PHt.T)
     P_new = P_new + P_new.T
     return _renormalize_quaternion(x_new, P_new)

@@ -1,0 +1,125 @@
+"""Pallas TPU kernels for the EKF hot path.
+
+`fused_update_tail`: the covariance half of the EKF measurement update
+(update.m:13-24) — downdate P − K(PHᵀ)ᵀ, symmetrize, and the quaternion-
+renormalization row/col transform — in ONE pass over P. The XLA version
+takes ~4 full-P memory passes (downdate write, symmetrize read×2+write,
+renorm row/col rewrites); this kernel reads each P tile twice ((i,j) and
+(j,i) for the symmetrization) and writes once, with the K/PHt tiles feeding
+the MXU. The update is HBM-bound at the engine's operating point
+(B=512, D=613: a single full-P pass costs ~5 ms — tools/profile_linalg.py),
+so pass-count is the metric that matters.
+
+Tiling: (TILE x TILE) output tiles over a (D, D) covariance; edge blocks
+are handled by Pallas' masked loads/stores. The quaternion block (rows/cols
+3:7) lives entirely inside tile (0, 0)'s row/column stripe, so the renorm
+transform is applied in-kernel via `pl.when(i == 0)` / `pl.when(j == 0)`.
+
+Numerics are identical to the XLA path (tests/test_pallas_kernels.py checks
+exact agreement in float32 on CPU interpret mode and on device).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+TILE = 128
+
+
+def _kernel(Pij_ref, Pji_ref, Ki_ref, Kj_ref, PHti_ref, PHtj_ref, Jq_ref,
+            out_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    A = Pij_ref[:] - jnp.dot(Ki_ref[:], PHtj_ref[:].T,
+                             preferred_element_type=jnp.float32)
+    At = Pji_ref[:] - jnp.dot(Kj_ref[:], PHti_ref[:].T,
+                              preferred_element_type=jnp.float32)
+    out = 0.5 * (A + At.T)
+
+    Jq = Jq_ref[0:8, 0:8]     # I3 ⊕ J4 ⊕ I1 stripe transform
+    # One-hot extract/expand of the quaternion stripe (rows/cols 3:7 -> take
+    # an 8-row stripe 0:8 and transform with I3 ⊕ Jq4 ⊕ I1 to stay on
+    # sublane-aligned shapes).
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (TILE, 8), 0)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (TILE, 8), 1)
+    EQ = (ridx == cidx).astype(out.dtype)     # (TILE, 8) rows 0..7 selector
+    stripe_mask_r = (ridx[:, 0:1] < 8)        # (TILE, 1)
+
+    @pl.when(i == 0)
+    def _():
+        stripe = jnp.dot(EQ.T, out, preferred_element_type=jnp.float32)
+        stripe = jnp.dot(Jq, stripe, preferred_element_type=jnp.float32)
+        expanded = jnp.dot(EQ, stripe, preferred_element_type=jnp.float32)
+        out_ref[:] = jnp.where(stripe_mask_r, expanded, out)
+
+    @pl.when(i != 0)
+    def _():
+        out_ref[:] = out
+
+    @pl.when(j == 0)
+    def _():
+        cur = out_ref[:]
+        stripe = jnp.dot(cur, EQ, preferred_element_type=jnp.float32)
+        stripe = jnp.dot(stripe, Jq.T, preferred_element_type=jnp.float32)
+        expanded = jnp.dot(stripe, EQ.T, preferred_element_type=jnp.float32)
+        col_mask = jax.lax.broadcasted_iota(
+            jnp.int32, (TILE, TILE), 1) < 8
+        out_ref[:] = jnp.where(col_mask, expanded, cur)
+
+
+def _tail_single(P, K, PHt, Jq):
+    D = P.shape[0]
+    nt = pl.cdiv(D, TILE)
+    M = K.shape[1]
+    grid = (nt, nt)
+    return pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((D, D), P.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE, TILE), lambda i, j: (i, j)),
+            pl.BlockSpec((TILE, TILE), lambda i, j: (j, i)),
+            pl.BlockSpec((TILE, M), lambda i, j: (i, 0)),
+            pl.BlockSpec((TILE, M), lambda i, j: (j, 0)),
+            pl.BlockSpec((TILE, M), lambda i, j: (i, 0)),
+            pl.BlockSpec((TILE, M), lambda i, j: (j, 0)),
+            pl.BlockSpec((8, 128), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TILE, TILE), lambda i, j: (i, j)),
+        interpret=_INTERPRET[0],
+    )(P, P, K, K, PHt, PHt, Jq)
+
+
+# Test hook: force interpreter mode (CPU-executable) for equivalence tests.
+_INTERPRET = [False]
+
+
+def _pad_Jq(Jq4: jnp.ndarray) -> jnp.ndarray:
+    """(4,4) quaternion-renorm Jacobian -> (8,128) I3 ⊕ J4 ⊕ I1 stripe
+    transform, padded for sublane/lane tiling."""
+    J8 = jnp.eye(8, dtype=Jq4.dtype).at[3:7, 3:7].set(Jq4)
+    return jnp.zeros((8, 128), Jq4.dtype).at[:, 0:8].set(J8)
+
+
+def fused_update_tail(P: jnp.ndarray, K: jnp.ndarray, PHt: jnp.ndarray,
+                      Jq4: jnp.ndarray) -> jnp.ndarray:
+    """P_new = T · sym(P − K·PHtᵀ) · Tᵀ with T = I ⊕ Jq4 on dims 3:7.
+
+    P: (..., D, D); K, PHt: (..., D, M); Jq4: (..., 4, 4). Batched via vmap.
+    """
+    if P.ndim == 2:
+        return _tail_single(P, K, PHt, _pad_Jq(Jq4))
+    return jax.vmap(fused_update_tail)(P, K, PHt, Jq4)
+
+
+def pallas_supported() -> bool:
+    """True when the default backend lowers Pallas TPU kernels."""
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:  # pragma: no cover
+        return False
+    return plat in ("tpu", "axon")

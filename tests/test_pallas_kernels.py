@@ -1,0 +1,58 @@
+"""Pallas fused-update-tail kernel vs the XLA reference path (interpret
+mode on CPU; the same code path compiles on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ekf_slam_tpu.ops import pallas_kernels as pk
+from ekf_slam_tpu.ops import quaternion as quat
+
+
+def _reference_tail(P, K, PHt, Jq):
+    A = 0.5 * (P - K @ PHt.T)
+    B = A + A.T
+    rows = Jq @ B[3:7, :]
+    B = jnp.concatenate([B[:3], rows, B[7:]], axis=0)
+    cols = B[:, 3:7] @ Jq.T
+    return jnp.concatenate([B[:, :3], cols, B[:, 7:]], axis=1)
+
+
+def test_fused_update_tail_matches_reference():
+    D, M = 210, 48            # deliberately NOT a multiple of the tile size
+    key = jax.random.key(0)
+    kP, kK, kH, kq = jax.random.split(key, 4)
+    A = jax.random.normal(kP, (D, D), jnp.float32) * 0.1
+    P = A @ A.T + jnp.eye(D)
+    K = jax.random.normal(kK, (D, M), jnp.float32) * 0.05
+    PHt = jax.random.normal(kH, (D, M), jnp.float32) * 0.05
+    q = jax.random.normal(kq, (4,), jnp.float32)
+    Jq = quat.norm_jac(q / jnp.linalg.norm(q) * 1.01)
+
+    ref = _reference_tail(P, K, PHt, Jq)
+    pk._INTERPRET[0] = True
+    try:
+        got = pk.fused_update_tail(P, K, PHt, Jq)
+    finally:
+        pk._INTERPRET[0] = False
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fused_update_tail_batched():
+    B, D, M = 3, 140, 16
+    key = jax.random.key(1)
+    A = jax.random.normal(key, (B, D, D), jnp.float32) * 0.1
+    P = A @ jnp.swapaxes(A, 1, 2) + jnp.eye(D)
+    K = jax.random.normal(key, (B, D, M), jnp.float32) * 0.05
+    PHt = jax.random.normal(key, (B, D, M), jnp.float32) * 0.05
+    Jq = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
+
+    pk._INTERPRET[0] = True
+    try:
+        got = pk.fused_update_tail(P, K, PHt, Jq)
+    finally:
+        pk._INTERPRET[0] = False
+    ref = jax.vmap(_reference_tail)(P, K, PHt, Jq)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
