@@ -14,6 +14,7 @@ publishes no numbers, SURVEY.md §6).
 """
 
 import json
+import os
 import time
 
 import jax
@@ -24,8 +25,8 @@ from ekf_slam_tpu.filter import engine
 from ekf_slam_tpu.filter.state import init_state
 from ekf_slam_tpu.sim import simulate
 
-BATCH = 512        # filter instances per chip (Monte-Carlo axis)
-FRAMES = 8         # frames per timed run (sequence scan)
+BATCH = int(os.environ.get("BENCH_BATCH", "512"))  # instances per chip
+FRAMES = int(os.environ.get("BENCH_FRAMES", "8"))  # frames per timed run
 TARGET = 10_000.0  # steps/sec/chip (BASELINE.json north star)
 
 

@@ -115,9 +115,10 @@ def step_core(state: FilterState, z: jnp.ndarray, z_valid: jnp.ndarray,
     ic = association.individually_compatible(z, z_valid, h, visible, S, cfg)
 
     # -- 4. 1-point RANSAC → LI inliers ---------------------------------------
-    H_dense = measurement.dense_H(H_xv, H_y, visible)
+    vm = visible.astype(H_xv.dtype)[:, None, None]
     li, support = ransac.run(
-        x_prior, P_prior, z, h, H_dense, S, ic, state.cartesian, key, cfg)
+        x_prior, P_prior, z, h, H_xv * vm, H_y * vm, S, ic,
+        state.cartesian, key, cfg)
 
     # -- 5. LI update from the prior (ekf_update_li_inliers.m; R = I there).
     # With use_iterated_update the LI step relinearizes (Gauss-Newton IEKF,

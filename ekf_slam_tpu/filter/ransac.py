@@ -68,20 +68,26 @@ def support_projection(x_hyp: jnp.ndarray, cartesian: jnp.ndarray,
 
 
 def run(x: jnp.ndarray, P: jnp.ndarray, z: jnp.ndarray, h: jnp.ndarray,
-        H_dense: jnp.ndarray, S: jnp.ndarray, ic_mask: jnp.ndarray,
-        cartesian: jnp.ndarray, key: jax.Array, cfg: EngineConfig):
+        H_xv: jnp.ndarray, H_y: jnp.ndarray, S: jnp.ndarray,
+        ic_mask: jnp.ndarray, cartesian: jnp.ndarray, key: jax.Array,
+        cfg: EngineConfig):
     """Full 1-point RANSAC. Returns (li_mask, best_support).
 
     x, P: prior state/covariance. z/h/S: per-slot measurements, predictions
-    and innovation covariances from the prior. H_dense: (2·CAP, D) masked
-    dense Jacobian. ic_mask: individually-compatible slots.
+    and innovation covariances from the prior. H_xv (CAP,2,13) / H_y
+    (CAP,2,6): per-slot Jacobian blocks. ic_mask: IC slots.
     """
     cap = ic_mask.shape[0]
     nhyp = cfg.ransac.num_hypotheses
     thr = cfg.filter.sigma_z  # RANSAC threshold = std_z (ransac_hypotheses.m:6)
 
-    PHt = P @ H_dense.T                                   # (D, 2*CAP)
-    PHt_slots = PHt.reshape(P.shape[0], cap, 2).transpose(1, 0, 2)  # (CAP,D,2)
+    # Per-slot gain columns P Hᵢᵀ exploiting H's two-block sparsity
+    # (H_i = [H_xv at cols 0:13 | H_y at the slot's 6 cols]): ~50x fewer
+    # flops than the dense (D, 2*CAP) product and a single P read.
+    P1 = P[:, :CAM_DIM]                                   # (D, 13)
+    Py = P[:, CAM_DIM:].reshape(P.shape[0], cap, 6)       # (D, CAP, 6)
+    PHt_slots = (jnp.einsum("dk,cik->cdi", P1, H_xv)
+                 + jnp.einsum("dcj,cij->cdi", Py, H_y))   # (CAP, D, 2)
 
     picks = sample_ic_indices(key, ic_mask, nhyp)         # (NHYP,)
 

@@ -80,8 +80,8 @@ def _ransac_setup(outlier_slots, key, cfg):
     z = h + 0.3 * jax.random.normal(key, h.shape)
     z = z.at[jnp.asarray(outlier_slots)].add(25.0)   # gross outliers
     ic = visible  # pretend everything got matched (IC) incl. outliers
-    H_dense = measurement.dense_H(H_xv, H_y, visible)
-    return st, x, P, z, h, H_dense, S, ic
+    vm = visible.astype(H_xv.dtype)[:, None, None]
+    return st, x, P, z, h, (H_xv * vm, H_y * vm), S, ic
 
 
 def test_fixed_batch_support_matches_sequential():
@@ -91,9 +91,9 @@ def test_fixed_batch_support_matches_sequential():
     inlier ratios (>= 64 draws cover eps >= 7%)."""
     cfg = EngineConfig(map=MapConfig(capacity=24), dtype="float64")
     outliers = [1, 5, 9, 13]
-    st, x, P, z, h, H_dense, S, ic = _ransac_setup(
+    st, x, P, z, h, (H_xv, H_y), S, ic = _ransac_setup(
         outliers, jax.random.key(1), cfg)
-    li, support = ransac.run(x, P, z, h, H_dense, S, ic, st.cartesian,
+    li, support = ransac.run(x, P, z, h, H_xv, H_y, S, ic, st.cartesian,
                              jax.random.key(2), cfg)
     li = np.asarray(li)
     assert not li[outliers].any(), li
@@ -103,10 +103,10 @@ def test_fixed_batch_support_matches_sequential():
 
 def test_ransac_no_ic_matches_is_noop():
     cfg = EngineConfig(map=MapConfig(capacity=8), dtype="float64")
-    st, x, P, z, h, H_dense, S, _ = _ransac_setup([0], jax.random.key(3),
-                                                  cfg)
+    st, x, P, z, h, (H_xv, H_y), S, _ = _ransac_setup(
+        [0], jax.random.key(3), cfg)
     ic = jnp.zeros(8, bool)
-    li, support = ransac.run(x, P, z, h, H_dense, S, ic, st.cartesian,
+    li, support = ransac.run(x, P, z, h, H_xv, H_y, S, ic, st.cartesian,
                              jax.random.key(4), cfg)
     assert not bool(jnp.any(li))
     assert int(support) == 0

@@ -48,8 +48,9 @@ def make_step(cfg, obs1, stages):
         ic = association.individually_compatible(
             z, z_valid, h, visible, S, cfg)
         if "ransac" in stages:
-            H_dense = measurement.dense_H(H_xv, H_y, visible)
-            li, support = ransac.run(x_prior, P_prior, z, h, H_dense, S, ic,
+            vm = visible.astype(H_xv.dtype)[:, None, None]
+            li, support = ransac.run(x_prior, P_prior, z, h, H_xv * vm,
+                                     H_y * vm, S, ic,
                                      state.cartesian, key, cfg)
         else:
             li = ic

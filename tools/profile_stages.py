@@ -83,9 +83,9 @@ def main():
             z_, zv_, h_, v_, S_, cfg)))(z, zv, h, visible, S)
 
     rs = jax.jit(jax.vmap(
-        lambda x, P, z_, h_, Hd_, S_, ic_, c_, k_: ransac.run(
-            x, P, z_, h_, Hd_, S_, ic_, c_, k_, cfg)))
-    li = timeit("ransac(64 hyp)", rs, xP[0], xP[1], z, h, Hd, S, ic,
+        lambda x, P, z_, h_, hx_, hy_, S_, ic_, c_, k_: ransac.run(
+            x, P, z_, h_, hx_, hy_, S_, ic_, c_, k_, cfg)))
+    li = timeit("ransac(64 hyp)", rs, xP[0], xP[1], z, h, H_xv, H_y, S, ic,
                 stb.cartesian, keys)[0]
 
     upd = jax.jit(jax.vmap(
