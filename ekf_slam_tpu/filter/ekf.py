@@ -39,11 +39,14 @@ def predict(x: jnp.ndarray, P: jnp.ndarray, cfg: FilterConfig):
     F = motion.dfv_by_dxv(xv, cfg)
     Q = motion.process_noise(xv, cfg)
 
-    # P⁻ = [F P₁₁ Fᵀ + Q , F P₁ₘ ; Pₘ₁ Fᵀ , Pₘₘ]
+    # P⁻ = [F P₁₁ Fᵀ + Q , F P₁ₘ ; Pₘ₁ Fᵀ , Pₘₘ] — assembled with concat
+    # (one output materialization) instead of repeated .at[].set copies.
     top = F @ P[:CAM_DIM, :]                       # (13, D)
-    top = top.at[:, :CAM_DIM].set(top[:, :CAM_DIM] @ F.T + Q)
-    P_pred = P.at[:CAM_DIM, :].set(top)
-    P_pred = P_pred.at[CAM_DIM:, :CAM_DIM].set(top[:, CAM_DIM:].T)
+    top = jnp.concatenate(
+        [top[:, :CAM_DIM] @ F.T + Q, top[:, CAM_DIM:]], axis=1)
+    bottom = jnp.concatenate(
+        [top[:, CAM_DIM:].T, P[CAM_DIM:, CAM_DIM:]], axis=1)
+    P_pred = jnp.concatenate([top, bottom], axis=0)
     return x_pred, P_pred
 
 
