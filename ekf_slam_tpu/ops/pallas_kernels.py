@@ -30,15 +30,20 @@ from jax.experimental import pallas as pl
 TILE = 128
 
 
-def _kernel(Pij_ref, Pji_ref, Ki_ref, Kj_ref, PHti_ref, PHtj_ref, Jq_ref,
-            out_ref):
+def _kernel(Pij_ref, K_ref, PHt_ref, Jq_ref, out_ref):
     i = pl.program_id(0)
     j = pl.program_id(1)
-    A = Pij_ref[:] - jnp.dot(Ki_ref[:], PHtj_ref[:].T,
-                             preferred_element_type=jnp.float32)
-    At = Pji_ref[:] - jnp.dot(Kj_ref[:], PHti_ref[:].T,
-                              preferred_element_type=jnp.float32)
-    out = 0.5 * (A + At.T)
+    # P enters the update symmetric (predict preserves symmetry; every
+    # update re-symmetrizes), so sym(P − K·PHtᵀ) = P − 0.5(K·PHtᵀ + PHt·Kᵀ)
+    # — no transposed-P read. K and PHt live whole in VMEM (row-padded to
+    # the tile multiple by the host wrapper) and are sliced per tile.
+    Ki = K_ref[pl.ds(i * TILE, TILE), :]
+    Kj = K_ref[pl.ds(j * TILE, TILE), :]
+    PHti = PHt_ref[pl.ds(i * TILE, TILE), :]
+    PHtj = PHt_ref[pl.ds(j * TILE, TILE), :]
+    out = Pij_ref[:] - 0.5 * (
+        jnp.dot(Ki, PHtj.T, preferred_element_type=jnp.float32)
+        + jnp.dot(PHti, Kj.T, preferred_element_type=jnp.float32))
 
     Jq = Jq_ref[0:8, 0:8]     # I3 ⊕ J4 ⊕ I1 stripe transform
     # One-hot extract/expand of the quaternion stripe (rows/cols 3:7 -> take
@@ -75,6 +80,12 @@ def _tail_single(P, K, PHt, Jq):
     D = P.shape[0]
     nt = pl.cdiv(D, TILE)
     M = K.shape[1]
+    Dp = nt * TILE
+    if Dp != D:
+        # Row-pad K/PHt so in-kernel pl.ds slices stay exact (zero rows
+        # contribute nothing; output edge tiles are store-masked anyway).
+        K = jnp.concatenate([K, jnp.zeros((Dp - D, M), K.dtype)])
+        PHt = jnp.concatenate([PHt, jnp.zeros((Dp - D, M), PHt.dtype)])
     grid = (nt, nt)
     return pl.pallas_call(
         _kernel,
@@ -82,16 +93,13 @@ def _tail_single(P, K, PHt, Jq):
         grid=grid,
         in_specs=[
             pl.BlockSpec((TILE, TILE), lambda i, j: (i, j)),
-            pl.BlockSpec((TILE, TILE), lambda i, j: (j, i)),
-            pl.BlockSpec((TILE, M), lambda i, j: (i, 0)),
-            pl.BlockSpec((TILE, M), lambda i, j: (j, 0)),
-            pl.BlockSpec((TILE, M), lambda i, j: (i, 0)),
-            pl.BlockSpec((TILE, M), lambda i, j: (j, 0)),
+            pl.BlockSpec((Dp, M), lambda i, j: (0, 0)),
+            pl.BlockSpec((Dp, M), lambda i, j: (0, 0)),
             pl.BlockSpec((8, 128), lambda i, j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((TILE, TILE), lambda i, j: (i, j)),
         interpret=_INTERPRET[0],
-    )(P, P, K, K, PHt, PHt, Jq)
+    )(P, K, PHt, Jq)
 
 
 # Test hook: force interpreter mode (CPU-executable) for equivalence tests.
@@ -108,6 +116,11 @@ def _pad_Jq(Jq4: jnp.ndarray) -> jnp.ndarray:
 def fused_update_tail(P: jnp.ndarray, K: jnp.ndarray, PHt: jnp.ndarray,
                       Jq4: jnp.ndarray) -> jnp.ndarray:
     """P_new = T · sym(P − K·PHtᵀ) · Tᵀ with T = I ⊕ Jq4 on dims 3:7.
+
+    PRECONDITION: P symmetric (it always is at the update's call sites —
+    predict preserves symmetry and every update re-symmetrizes), which lets
+    the kernel skip the transposed-P read:
+    sym(P − K·PHtᵀ) = P − 0.5(K·PHtᵀ + PHt·Kᵀ).
 
     P: (..., D, D); K, PHt: (..., D, M); Jq4: (..., 4, 4). Batched via vmap.
     """
