@@ -119,3 +119,26 @@ def test_sharded_train_step_runs():
     state2, metrics = step(state, imgs, labels, w, jax.random.key(4))
     assert bool(jnp.isfinite(metrics["loss"]))
     assert int(state2.step) == 1
+
+
+def test_fit_and_checkpoint_sweep(tmp_path):
+    """Training-loop runner + checkpoint sweep (train_and_eval +
+    find_best_checkpoint equivalents)."""
+    from ekf_slam_tpu.utils import MetricsLogger
+
+    model = train.create_model(CFG)
+    tcfg = train.TrainConfig(batch_size=2, image_hw=HW, ckpt_every=2)
+    imgs, labels = synthetic_batch(jax.random.key(5), 2, HW)
+    batches = [(imgs, labels)]
+    logger = MetricsLogger()
+    state, metrics = train.fit(model, tcfg, batches, num_steps=4,
+                               ckpt_dir=str(tmp_path), logger=logger)
+    assert int(state.step) == 4
+    assert len(logger.series("loss")) == 4
+    # Two checkpoints written (steps 2 and 4); sweep picks the later one
+    # under a score that favors high step counts.
+    template = jax.tree.map(jnp.zeros_like, state)
+    path, score = train.find_best_checkpoint(
+        str(tmp_path), template, lambda s: float(s.step))
+    assert path.endswith("0000004")
+    assert score == 4.0
