@@ -33,9 +33,12 @@ TARGET = 10_000.0  # steps/sec/chip (BASELINE.json north star)
 def main():
     cfg = EngineConfig(
         map=MapConfig(capacity=100, min_features_in_image=25,
-                      max_new_per_step=25),
+                      max_new_per_step=10),
         sim=SimConfig(num_landmarks=128),
         dtype="float32")
+    # max_new_per_step=10: the per-frame candidate batch; steady state adds
+    # none, bootstrap reaches min_features within 3 frames (the reference's
+    # initialize_features adds up to the deficit each frame too).
 
     scn, xs, obs = simulate(jax.random.key(0), cfg, FRAMES)
     st = engine.bootstrap(

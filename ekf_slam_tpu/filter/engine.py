@@ -102,9 +102,8 @@ def step_core(state: FilterState, z: jnp.ndarray, z_valid: jnp.ndarray,
     f = cfg.filter
     cap = state.capacity
 
-    # -- 1. map management (delete + one reparametrization) ------------------
-    state = mapman.delete_features(state, cfg)
-    state = mapman.convert_to_cartesian(state, cfg)
+    # -- 1. map management (delete + one reparametrization, fused) -----------
+    state = mapman.manage(state, cfg)
 
     # -- 2. EKF prediction ----------------------------------------------------
     x_prior, P_prior = ekf.predict(state.x, state.P, f)

@@ -256,16 +256,48 @@ def delete_features(state: FilterState, cfg: EngineConfig) -> FilterState:
         landmark_id=jnp.where(drop, -1, state.landmark_id))
 
 
-def convert_to_cartesian(state: FilterState, cfg: EngineConfig) -> FilterState:
+def manage(state: FilterState, cfg: EngineConfig) -> FilterState:
+    """delete_features + convert_to_cartesian fused into ONE full-P pass:
+    the delete zeroing becomes a dim-scale folded into the conversion's
+    select chain (the two stages are elementwise/select over P, so XLA
+    fuses the composition — separately they each pay a full-P write).
+    Equivalence: tests/test_mapman_batch.py::test_manage_equals_sequential.
+    """
+    m = cfg.map
+    weak = (state.times_predicted >= m.delete_min_predictions) & (
+        state.times_measured.astype(state.x.dtype)
+        < m.delete_measured_ratio * state.times_predicted.astype(state.x.dtype))
+    drop = state.active & weak
+    keep = ~drop
+    dim_keep = jnp.concatenate([
+        jnp.ones(CAM_DIM, bool), jnp.repeat(keep, 6)])
+    z32 = jnp.zeros_like(state.times_predicted)
+    st = state.replace(
+        active=state.active & keep,
+        cartesian=state.cartesian & keep,
+        times_predicted=jnp.where(drop, z32, state.times_predicted),
+        times_measured=jnp.where(drop, z32, state.times_measured),
+        landmark_id=jnp.where(drop, -1, state.landmark_id))
+    return convert_to_cartesian(st, cfg, dim_keep=dim_keep)
+
+
+def convert_to_cartesian(state: FilterState, cfg: EngineConfig,
+                         dim_keep=None) -> FilterState:
     """Inverse-depth -> cartesian reparametrization of at most one feature
-    per step (inversedepth_2_cartesian.m:1-52)."""
+    per step (inversedepth_2_cartesian.m:1-52). `dim_keep` (D,) bool, if
+    given, zero-masks deleted dims of x/P on the fly (fused delete)."""
     m = cfg.map
     dtype = state.x.dtype
     cap = state.capacity
-    slots = state.slot_values()                                # (CAP, 6)
+    if dim_keep is None:
+        dim_keep = jnp.ones(state.x.shape[0], bool)
+    ks = dim_keep.astype(dtype)
+    x_in = state.x * ks
+    slots = x_in[CAM_DIM:].reshape(cap, 6)                     # (CAP, 6)
     y3, theta, phi, rho = slots[:, 0:3], slots[:, 3], slots[:, 4], slots[:, 5]
     idx = jnp.arange(cap)
-    rho_var = state.P[CAM_DIM + 6 * idx + 5, CAM_DIM + 6 * idx + 5]
+    rho_dims = CAM_DIM + 6 * idx + 5
+    rho_var = state.P[rho_dims, rho_dims] * ks[rho_dims]
     # Guard rho==0 on inactive slots.
     safe_rho = jnp.where(rho == 0, jnp.ones_like(rho), rho)
     std_d = jnp.sqrt(jnp.maximum(rho_var, 0.0)) / safe_rho**2
@@ -305,7 +337,9 @@ def convert_to_cartesian(state: FilterState, cfg: EngineConfig) -> FilterState:
 
     # gather the slot's 6 P-rows with a one-hot contraction (no dyn slice)
     Prows = state.P[CAM_DIM:].reshape(cap, 6, D)
-    slot_rows = jnp.einsum("c,cid->id", onehot, Prows)      # (6, D)
+    # ks column-scales the gathered rows (fused delete); the chosen slot's
+    # own row scale is 1 because `eligible` requires an active (kept) slot.
+    slot_rows = jnp.einsum("c,cid->id", onehot, Prows) * ks[None, :]  # (6,D)
     new_rows3 = J @ slot_rows                               # (3, D)
     new_rows = jnp.concatenate(
         [new_rows3, jnp.zeros((3, D), dtype)], axis=0)      # (6, D)
@@ -327,7 +361,8 @@ def convert_to_cartesian(state: FilterState, cfg: EngineConfig) -> FilterState:
         jnp.einsum("c,ij->cij", onehot, diag66).reshape(6 * cap, 6)])
     diag_full = diag_rep @ sel_cols.T                       # (D, D) lazy
 
-    P = jnp.where(dim_mask[:, None], rows_rep, state.P)
+    P_base = state.P * (ks[:, None] * ks[None, :])          # fused delete
+    P = jnp.where(dim_mask[:, None], rows_rep, P_base)
     P = jnp.where(dim_mask[None, :], rows_rep.T, P)
     P = jnp.where(dim_mask[:, None] & dim_mask[None, :], diag_full, P)
 
@@ -337,7 +372,7 @@ def convert_to_cartesian(state: FilterState, cfg: EngineConfig) -> FilterState:
     x_rep = jnp.concatenate([
         jnp.zeros(CAM_DIM, dtype),
         jnp.einsum("c,i->ci", onehot, new_slot_x).reshape(-1)])
-    x_new = jnp.where(dim_mask, x_rep, state.x)
+    x_new = jnp.where(dim_mask, x_rep, x_in)
 
     return state.replace(
         x=x_new, P=P, cartesian=state.cartesian | (onehot > 0))

@@ -61,3 +61,36 @@ def test_batch_add_respects_capacity():
     assert int(jnp.sum(st2.active)) == 4
     assert int(jnp.sum(asg >= 0)) == 2
     assert bool(jnp.all(jnp.isfinite(st2.P)))
+
+
+def test_manage_equals_sequential():
+    """Fused delete+convert == delete_features then convert_to_cartesian."""
+    import numpy as np
+    cfg = EngineConfig(map=MapConfig(capacity=10, delete_min_predictions=3,
+                                     linearity_threshold=0.5),
+                       dtype="float64")
+    st = make_state(cfg, jax.random.key(5))
+    uvd = jax.random.uniform(jax.random.key(6), (6, 2), minval=60.0,
+                             maxval=180.0).astype(jnp.float64)
+    st, _ = mapman.add_features_batch(
+        st, uvd, jnp.ones(6, bool), jnp.arange(6, dtype=jnp.int32), cfg)
+    # Make slot 1 weak (delete candidate) and slot 3 low-uncertainty with
+    # distant camera (conversion candidate).
+    st = st.replace(
+        times_predicted=st.times_predicted.at[1].set(10),
+        times_measured=st.times_measured.at[1].set(1))
+    off3 = 13 + 6 * 3 + 5
+    st = st.replace(P=st.P.at[off3, off3].set(1e-8),
+                    x=st.x.at[0:3].set(jnp.array([2.0, 0.3, -1.0])))
+
+    seq = mapman.convert_to_cartesian(mapman.delete_features(st, cfg), cfg)
+    fused = mapman.manage(st, cfg)
+    assert bool(jnp.any(seq.cartesian)), "test setup: nothing converted"
+    np.testing.assert_allclose(np.asarray(seq.x), np.asarray(fused.x),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(seq.P), np.asarray(fused.P),
+                               atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(seq.active),
+                                  np.asarray(fused.active))
+    np.testing.assert_array_equal(np.asarray(seq.cartesian),
+                                  np.asarray(fused.cartesian))
