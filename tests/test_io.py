@@ -78,3 +78,29 @@ def test_ppm_first_channel(tmp_path):
     got = _load_pgm_numpy(str(tmp_path / "c.ppm"))
     # takeImage.m keeps the first channel
     np.testing.assert_allclose(got, rgb[:, :, 0] / 255.0, atol=1e-7)
+
+
+def test_kitti_pose_roundtrip(tmp_path):
+    from ekf_slam_tpu.io.poses import (load_kitti_poses, poses_to_rq,
+                                       save_trajectory_kitti)
+    rng = np.random.default_rng(2)
+    # random valid rotations via QR
+    T = 5
+    qs, _ = np.linalg.qr(rng.normal(size=(T, 3, 3)))
+    dets = np.linalg.det(qs)
+    qs = qs * dets[:, None, None]   # ensure det +1
+    ts = rng.normal(size=(T, 3))
+    poses = np.concatenate([qs, ts[:, :, None]], axis=2)
+    p = str(tmp_path / "poses.txt")
+    np.savetxt(p, poses.reshape(-1, 12))
+    back = load_kitti_poses(p)
+    np.testing.assert_allclose(back, poses, atol=1e-12)
+    rq = poses_to_rq(back)
+    assert rq.shape == (T, 7)
+    np.testing.assert_allclose(np.linalg.norm(rq[:, 3:7], axis=1), 1.0,
+                               atol=1e-6)
+    out = str(tmp_path / "traj.txt")
+    save_trajectory_kitti(out, rq)
+    back2 = load_kitti_poses(out)
+    np.testing.assert_allclose(back2[:, :, 3], ts, atol=1e-7)
+    np.testing.assert_allclose(back2[:, :, 0:3], qs, atol=1e-5)
