@@ -61,3 +61,26 @@ def test_plot_functions_smoke(tmp_path):
     plot_map_3d(p2, traj, lms, cov, active=np.ones(10, bool),
                 truth_traj=traj + 0.01)
     assert os.path.getsize(p2) > 0
+
+
+def test_save_animation_gif(tmp_path):
+    from ekf_slam_tpu.viz.animation import save_animation
+    frames = [np.random.rand(16, 20) for _ in range(4)]
+    p = str(tmp_path / "anim.gif")
+    n = save_animation(p, frames, fps=5)
+    assert n == 4
+    assert os.path.getsize(p) > 0
+    from PIL import Image
+    im = Image.open(p)
+    assert im.n_frames == 4
+
+
+def test_coco_adapter_gated():
+    import pytest
+    from ekf_slam_tpu.data import coco as coco_mod
+    try:
+        import pycocotools  # noqa: F401
+        pytest.skip("pycocotools present; gate not exercised")
+    except ImportError:
+        with pytest.raises(ImportError, match="pycocotools"):
+            coco_mod._require_pycocotools()
