@@ -86,6 +86,10 @@ class FilterConfig:
     # Fused Pallas covariance-update kernel: "auto" uses it on TPU-class
     # backends (float32 only), "on"/"off" force it.
     pallas_update: str = "auto"
+    # Gain solver for S⁻¹: "cholesky" (exact; sequential triangular work) or
+    # "newton" (Newton-Schulz, pure MXU; ~1e-6 relative accuracy at f32 —
+    # see ekf._spd_inverse_newton)
+    gain_solver: str = "cholesky"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -170,18 +170,20 @@ def _masked_update(x, P, H_xv, H_y, z, h, slot_mask, cfg: EngineConfig):
     cap = slot_mask.shape[0]
     M = cfg.map.max_update_obs
     use_pallas = _use_pallas(cfg)
+    solver = cfg.filter.gain_solver
     if M <= 0 or M >= cap:
         H = measurement.dense_H(H_xv, H_y, slot_mask)
         return ekf.update(
             x, P, H, z.reshape(-1), h.reshape(-1), jnp.repeat(slot_mask, 2),
-            jnp.ones(2 * cap, x.dtype), use_pallas=use_pallas)
+            jnp.ones(2 * cap, x.dtype), use_pallas=use_pallas,
+            gain_solver=solver)
     sel = jnp.argsort(~slot_mask)[:M]          # inlier slots first (stable)
     sel_mask = slot_mask[sel]
     H = measurement.compact_dense_H(H_xv[sel], H_y[sel], sel, sel_mask, cap)
     return ekf.update(
         x, P, H, z[sel].reshape(-1), h[sel].reshape(-1),
         jnp.repeat(sel_mask, 2), jnp.ones(2 * M, x.dtype),
-        use_pallas=use_pallas)
+        use_pallas=use_pallas, gain_solver=solver)
 
 
 def _use_pallas(cfg: EngineConfig) -> bool:

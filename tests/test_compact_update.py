@@ -54,3 +54,26 @@ def test_iterated_engine_step_runs_and_tracks():
     final, traj, info = run(st, obs, jax.random.key(3), cfg)
     assert bool(jnp.all(jnp.isfinite(final.x)))
     assert int(info.n_li[-1]) >= 5
+
+
+def test_newton_gain_matches_cholesky():
+    """Newton-Schulz S^-1 tracks the Cholesky gain to float32 accuracy over
+    a full engine run (same RANSAC key -> same inlier sets)."""
+    from ekf_slam_tpu.config import FilterConfig
+    base = dict(capacity=32, min_features_in_image=12, max_new_per_step=12,
+                max_update_obs=16)
+    cfg_c = EngineConfig(map=MapConfig(**base),
+                         sim=SimConfig(num_landmarks=48))
+    cfg_n = EngineConfig(filter=FilterConfig(gain_solver="newton"),
+                         map=MapConfig(**base),
+                         sim=SimConfig(num_landmarks=48))
+    scn, xs, obs = sim_scene.simulate(jax.random.key(4), cfg_c, 8)
+    st = engine.bootstrap(init_state(cfg_c),
+                          jax.tree.map(lambda a: a[0], obs), cfg_c)
+    run = jax.jit(engine.run_sequence, static_argnames="cfg")
+    _, traj_c, info_c = run(st, obs, jax.random.key(5), cfg_c)
+    _, traj_n, info_n = run(st, obs, jax.random.key(5), cfg_n)
+    np.testing.assert_array_equal(np.asarray(info_c.n_li),
+                                  np.asarray(info_n.n_li))
+    np.testing.assert_allclose(np.asarray(traj_c), np.asarray(traj_n),
+                               atol=2e-4)
