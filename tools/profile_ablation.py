@@ -37,8 +37,7 @@ def make_step(cfg, obs1, stages):
     def step(state, key):
         f = cfg.filter
         if "mapman" in stages:
-            state = mapman.delete_features(state, cfg)
-            state = mapman.convert_to_cartesian(state, cfg)
+            state = mapman.manage(state, cfg)
         x_prior, P_prior = ekf.predict(state.x, state.P, f) \
             if "predict" in stages else (state.x, state.P)
         z, z_valid = engine.gather_measurements(state, obs1)
