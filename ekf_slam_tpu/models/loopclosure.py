@@ -25,7 +25,7 @@ RANSAC under vmap.
 from __future__ import annotations
 
 import dataclasses
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import flax.struct
 import jax

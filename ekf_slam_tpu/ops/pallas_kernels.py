@@ -21,8 +21,6 @@ exact agreement in float32 on CPU interpret mode and on device).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -37,8 +37,6 @@ def render_overlay_frames(images, h_pred, S, visible, ic, li, hi,
                           render_fn: Optional[Callable] = None):
     """Yield plots.m-style overlay frames as RGB arrays (for
     save_animation). Inputs carry a leading time axis."""
-    import io as _io
-
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt

@@ -34,7 +34,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     from jax.sharding import Mesh
-    from ekf_slam_tpu.data import class_weights, synthetic_batch
+    from ekf_slam_tpu.data import synthetic_batch
     from ekf_slam_tpu.models import evaluate, train
     from ekf_slam_tpu.models.vss import VSSConfig
     from ekf_slam_tpu.utils import MetricsLogger

@@ -1,4 +1,4 @@
-import os, sys, time, json
+import sys, time
 sys.path.insert(0, "/root/repo")
 import jax, jax.numpy as jnp
 from ekf_slam_tpu.config import EngineConfig, FilterConfig, MapConfig, SimConfig
