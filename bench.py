@@ -20,7 +20,8 @@ import time
 import jax
 import jax.numpy as jnp
 
-from ekf_slam_tpu.config import EngineConfig, MapConfig, SimConfig
+from ekf_slam_tpu.config import (EngineConfig, FilterConfig, MapConfig,
+                                 SimConfig)
 from ekf_slam_tpu.filter import engine
 from ekf_slam_tpu.filter.state import init_state
 from ekf_slam_tpu.sim import simulate
@@ -32,6 +33,9 @@ TARGET = 10_000.0  # steps/sec/chip (BASELINE.json north star)
 
 def main():
     cfg = EngineConfig(
+        # newton: Newton-Schulz SPD-inverse gain — pure MXU, tracks the
+        # Cholesky gain to f32 accuracy (tests/test_compact_update.py)
+        filter=FilterConfig(gain_solver="newton"),
         map=MapConfig(capacity=100, min_features_in_image=25,
                       max_new_per_step=10),
         sim=SimConfig(num_landmarks=128),
