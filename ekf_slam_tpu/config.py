@@ -201,6 +201,10 @@ class EngineConfig:
     vision: VisionConfig = VisionConfig()
     sim: SimConfig = SimConfig()
     dtype: str = "float32"   # compute dtype; "float64" for the oracle path
+    # NaN/Inf guard on the post-update state each frame — the
+    # tf.check_numerics parity (calc2.py:311-313); aborts under jit via
+    # jax.debug.check when tripped.
+    debug_nan_checks: bool = False
 
     @property
     def jnp_dtype(self):

@@ -138,6 +138,11 @@ def step_core(state: FilterState, z: jnp.ndarray, z_valid: jnp.ndarray,
     x_post, P_post = _masked_update(
         x_post, P_post, H_xv2, H_y2, z, h2, hi, cfg)
 
+    if cfg.debug_nan_checks:
+        from ekf_slam_tpu.utils.metrics import check_finite
+        check_finite(x_post, "x_post", debug=True)
+        check_finite(P_post, "P_post", debug=True)
+
     state = state.replace(x=x_post, P=P_post)
 
     # -- bookkeeping (stage 8 feature init is the caller's, it needs a

@@ -26,11 +26,15 @@ import jax.numpy as jnp
 
 def check_finite(x: jnp.ndarray, name: str = "", debug: bool = False):
     """Branchless finite check (tf.check_numerics parity, calc2.py:311-313).
-    Returns (x, ok). With debug=True, aborts the computation on failure via
-    jax.debug.check (works under jit)."""
+    Returns (x, ok). With debug=True, emits a device-side diagnostic print
+    when tripped (works under jit/vmap)."""
     ok = jnp.all(jnp.isfinite(x))
     if debug:
-        jax.debug.check(ok, "non-finite value in {name}", name=name)
+        jax.lax.cond(
+            ok, lambda: None,
+            lambda: jax.debug.print(
+                "NaN/Inf detected in {n} (min={mn}, max={mx})",
+                n=name, mn=jnp.min(x), mx=jnp.max(x)))
     return x, ok
 
 

@@ -139,3 +139,15 @@ def test_vmapped_instances():
     final, traj, infos = jax.jit(run)(st_b, keys)
     assert traj.shape == (B, 8, CAM_DIM)
     assert bool(jnp.all(jnp.isfinite(traj)))
+
+
+def test_debug_nan_checks_mode_runs():
+    """tf.check_numerics parity: the NaN-guard mode runs clean on a healthy
+    sequence (it aborts the computation when tripped)."""
+    cfg = small_cfg().replace(debug_nan_checks=True)
+    scn, xs, obs = sim_scene.simulate(jax.random.key(9), cfg, 4)
+    st = init_state(cfg)
+    st = engine.bootstrap(st, jax.tree.map(lambda a: a[0], obs), cfg)
+    run = jax.jit(engine.run_sequence, static_argnames="cfg")
+    final, traj, infos = run(st, obs, jax.random.key(10), cfg)
+    assert bool(jnp.all(jnp.isfinite(traj)))
