@@ -51,3 +51,26 @@ def test_synthetic_batch_structure():
     assert labels.shape == (2, 32, 32, 13)
     w = class_weights(labels)
     assert w.shape == (13,)
+
+
+def test_shards_feed_training(tmp_path):
+    """Record shards -> ShardReader -> train.fit integration (the
+    gen_tfrecords -> estimator input_fn pipeline, end to end)."""
+    import jax.numpy as jnp
+    from ekf_slam_tpu.models import train
+    from ekf_slam_tpu.models.vss import VSSConfig
+
+    rng = np.random.default_rng(1)
+
+    def pairs():
+        for _ in range(4):
+            yield (rng.integers(0, 256, (32, 32, 3), dtype=np.uint8),
+                   rng.integers(0, 13, (32, 32), dtype=np.uint8))
+
+    write_shards(str(tmp_path), pairs(), shard_size=4)
+    reader = ShardReader(str(tmp_path), batch_size=2)
+    model = train.create_model(VSSConfig(width=8))
+    tcfg = train.TrainConfig(batch_size=2, image_hw=(32, 32))
+    state, metrics = train.fit(model, tcfg, iter(reader), num_steps=2)
+    assert int(state.step) == 2
+    assert bool(jnp.isfinite(metrics["loss"]))
