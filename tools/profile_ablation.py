@@ -77,9 +77,11 @@ def make_step(cfg, obs1, stages):
 
 
 def main():
+    from ekf_slam_tpu.config import FilterConfig
     cfg = EngineConfig(
+        filter=FilterConfig(gain_solver=os.environ.get("GAIN", "newton")),
         map=MapConfig(capacity=CAP, min_features_in_image=25,
-                      max_new_per_step=25),
+                      max_new_per_step=int(os.environ.get("K", "10"))),
         sim=SimConfig(num_landmarks=128))
     scn, xs, obs = simulate(jax.random.key(0), cfg, 2)
     obs0 = jax.tree.map(lambda a: a[0], obs)
