@@ -166,34 +166,31 @@ def add_features_batch(state: FilterState, uvd: jnp.ndarray,
 
     # --- scatter-free write-back --------------------------------------------
     # Dynamic scatters into P (especially along columns) serialize on TPU
-    # (measured: 116 ms of a 241 ms step at B=512). Instead, expand the K
-    # candidate blocks to slot-indexed layout with ONE-HOT MATMULS (MXU
-    # work) and blend with masked selects (pure bandwidth).
+    # (measured: 116 ms of a 241 ms step at B=512), and (D, D)-sized select
+    # operands cost full-P passes each. Additive LOW-RANK form instead:
+    #   P' = P·maskᵢmaskⱼ + Eᵀ R̃ + (Eᵀ R̃)ᵀ + Eᵀ C E,
+    # with E (6K, D) the one-hot row selector of the new dims, R̃ the new
+    # rows with new columns zeroed, C the (6K, 6K) new-block covariance —
+    # MXU matmuls whose outputs XLA fuses into one read + one write of P.
     cap = state.capacity
     onehot = jax.nn.one_hot(jnp.where(ok, slot, cap), cap,
                             dtype=dtype)                     # (K, CAP)
     new_slot = jnp.einsum("kc->c", onehot) > 0               # (CAP,)
     dim_new = jnp.concatenate([jnp.zeros(CAM_DIM, bool),
                                jnp.repeat(new_slot, 6)])     # (D,)
+    keep_f = (~dim_new).astype(dtype)                        # (D,)
 
-    rows_lm = jnp.einsum("kc,kid->cid", onehot, rows)        # (CAP, 6, D)
-    rows_full = jnp.concatenate(
-        [jnp.zeros((CAM_DIM, D), dtype), rows_lm.reshape(6 * cap, D)])
-    cross_lm = jnp.einsum("kc,md,kmij->cidj", onehot, onehot,
-                          cross).reshape(6 * cap, 6 * cap)   # (6CAP, 6CAP)
+    row_flat = jnp.where(ok[:, None], CAM_DIM + 6 * slot[:, None]
+                         + jnp.arange(6)[None], D).reshape(-1)   # (6K,)
+    E = jax.nn.one_hot(row_flat, D, dtype=dtype)             # (6K, D)
+    rows_flat = rows.reshape(6 * K, D) * keep_f[None, :]     # R̃: new cols 0
+    cross_flat = cross.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
+    contrib = E.T @ rows_flat                                # (D, D)
+    P = (P * (keep_f[:, None] * keep_f[None, :])
+         + contrib + contrib.T + E.T @ cross_flat @ E)
 
-    # One nested-select expression -> XLA fuses into a single full-P pass.
-    cross_full = jnp.zeros((D, D), dtype).at[CAM_DIM:, CAM_DIM:].set(cross_lm)
-    both = dim_new[:, None] & dim_new[None, :]
-    P = jnp.where(
-        both, cross_full,
-        jnp.where(dim_new[:, None], rows_full,
-                  jnp.where(dim_new[None, :], rows_full.T, P)))
-
-    y_full = jnp.concatenate([
-        jnp.zeros(CAM_DIM, dtype),
-        jnp.einsum("kc,ki->ci", onehot, y).reshape(-1)])
-    x = jnp.where(dim_new, y_full, state.x)
+    y_flat = y.reshape(-1)                                   # (6K,)
+    x = state.x * keep_f + E.T @ y_flat
 
     lm_new = jnp.einsum("kc,k->c", onehot,
                         lm_ids.astype(dtype)).astype(jnp.int32)
@@ -343,36 +340,28 @@ def convert_to_cartesian(state: FilterState, cfg: EngineConfig,
     new_rows3 = J @ slot_rows                               # (3, D)
     new_rows = jnp.concatenate(
         [new_rows3, jnp.zeros((3, D), dtype)], axis=0)      # (6, D)
-    # expand to (D, D) lazily via outer product for the select
-    rows_rep = jnp.concatenate([
-        jnp.zeros((CAM_DIM, D), dtype),
-        jnp.einsum("c,id->cid", onehot, new_rows).reshape(6 * cap, D)])
 
-    # diagonal 6x6 block: J (slot66) Jᵀ in the top-left 3x3, zeros elsewhere
-    sel_cols = jnp.concatenate(
-        [jnp.zeros((CAM_DIM, 6), dtype),
-         jnp.einsum("c,ij->cij", onehot,
-                    jnp.eye(6, dtype=dtype)).reshape(6 * cap, 6)])
-    slot66 = slot_rows @ sel_cols                           # (6, 6)
+    # one-hot row selector of the slot's 6 dims (zero rows when do=False)
+    row_flat = jnp.where(do, CAM_DIM + 6 * slot + jnp.arange(6), D)  # (6,)
+    E6 = jax.nn.one_hot(row_flat, D, dtype=dtype)           # (6, D)
+
+    # diagonal block: J (slot66) Jᵀ in the top-left 3x3
+    slot66 = slot_rows @ E6.T                               # (6, 6)
     diag33 = J @ slot66 @ J.T
     diag66 = jnp.zeros((6, 6), dtype).at[0:3, 0:3].set(diag33)
-    diag_rep = jnp.concatenate([
-        jnp.zeros((CAM_DIM, 6), dtype),
-        jnp.einsum("c,ij->cij", onehot, diag66).reshape(6 * cap, 6)])
-    diag_full = diag_rep @ sel_cols.T                       # (D, D) lazy
 
-    P_base = state.P * (ks[:, None] * ks[None, :])          # fused delete
-    P = jnp.where(dim_mask[:, None], rows_rep, P_base)
-    P = jnp.where(dim_mask[None, :], rows_rep.T, P)
-    P = jnp.where(dim_mask[:, None] & dim_mask[None, :], diag_full, P)
+    # additive low-rank write-back (see add_features_batch): one P read +
+    # one P write, MXU outer products instead of (D, D) select operands
+    keep_f = (~dim_mask).astype(dtype) * ks
+    rows_masked = new_rows * (~dim_mask).astype(dtype)[None, :]
+    contrib = E6.T @ rows_masked                            # (D, D)
+    P = (state.P * (keep_f[:, None] * keep_f[None, :])
+         + contrib + contrib.T + E6.T @ diag66 @ E6)
 
     # x: slot <- [p, 0, 0, 0]
     new_slot_x = jnp.concatenate([
         jnp.einsum("c,ci->i", onehot, p), jnp.zeros(3, dtype)])
-    x_rep = jnp.concatenate([
-        jnp.zeros(CAM_DIM, dtype),
-        jnp.einsum("c,i->ci", onehot, new_slot_x).reshape(-1)])
-    x_new = jnp.where(dim_mask, x_rep, x_in)
+    x_new = x_in * (~dim_mask).astype(dtype) + E6.T @ new_slot_x
 
     return state.replace(
         x=x_new, P=P, cartesian=state.cartesian | (onehot > 0))
