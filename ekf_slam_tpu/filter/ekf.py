@@ -20,6 +20,8 @@ and the covariance is mapped through the normalization Jacobian (normJac).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -28,6 +30,22 @@ from ekf_slam_tpu.filter import motion
 from ekf_slam_tpu.ops import quaternion as quat
 
 
+def f32_matmuls(fn):
+    """Run `fn` with float32-accurate matmuls.
+
+    TPU MXU matmuls on float32 inputs default to bfloat16 passes; covariance
+    algebra cannot survive that (the first update with fresh sigma_rho = 1
+    features makes S lose SPD-ness and the Cholesky NaNs — observed on
+    v5e). Everything covariance-touching is wrapped; float64 paths are
+    unaffected by the setting."""
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+    return wrapped
+
+
+@f32_matmuls
 def predict(x: jnp.ndarray, P: jnp.ndarray, cfg: FilterConfig):
     """EKF time update (predict_state_and_covariance.m:1-27).
 
@@ -50,6 +68,7 @@ def predict(x: jnp.ndarray, P: jnp.ndarray, cfg: FilterConfig):
     return x_pred, P_pred
 
 
+@f32_matmuls
 def update(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray, z: jnp.ndarray,
            h: jnp.ndarray, row_mask: jnp.ndarray, r_diag: jnp.ndarray,
            use_pallas: bool = False, gain_solver: str = "cholesky"):
@@ -139,6 +158,7 @@ def _renormalize_quaternion(x: jnp.ndarray, P: jnp.ndarray):
     return x, P
 
 
+@f32_matmuls
 def update_iterated(x: jnp.ndarray, P: jnp.ndarray, z: jnp.ndarray,
                     h_fn, row_mask: jnp.ndarray, r_diag: jnp.ndarray,
                     num_iters: int = 3):

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ekf_slam_tpu.config import CAM_DIM, EngineConfig
+from ekf_slam_tpu.filter import ekf
 from ekf_slam_tpu.filter.state import FilterState
 from ekf_slam_tpu.ops import camera as cam_ops
 from ekf_slam_tpu.ops import quaternion as quat
@@ -117,6 +118,7 @@ def add_features(state: FilterState, uvd: jnp.ndarray, cand_mask: jnp.ndarray,
     return add_features_assigned(state, uvd, cand_mask, lm_ids, cfg)[0]
 
 
+@ekf.f32_matmuls
 def add_features_batch(state: FilterState, uvd: jnp.ndarray,
                        cand_mask: jnp.ndarray, lm_ids: jnp.ndarray,
                        cfg: EngineConfig):
@@ -278,6 +280,7 @@ def manage(state: FilterState, cfg: EngineConfig) -> FilterState:
     return convert_to_cartesian(st, cfg, dim_keep=dim_keep)
 
 
+@ekf.f32_matmuls
 def convert_to_cartesian(state: FilterState, cfg: EngineConfig,
                          dim_keep=None) -> FilterState:
     """Inverse-depth -> cartesian reparametrization of at most one feature

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ekf_slam_tpu.config import CAM_DIM, CameraConfig, EngineConfig
+from ekf_slam_tpu.filter.ekf import f32_matmuls as _f32_matmuls
 from ekf_slam_tpu.filter.state import FilterState
 from ekf_slam_tpu.ops import camera as cam_ops
 from ekf_slam_tpu.ops import quaternion as quat
@@ -130,6 +131,7 @@ def jacobians(x: jnp.ndarray, h: jnp.ndarray, hc: jnp.ndarray,
     return H_xv, H_y
 
 
+@_f32_matmuls
 def innovation_covariances(P: jnp.ndarray, H_xv: jnp.ndarray,
                            H_y: jnp.ndarray, sigma_z: float):
     """Per-slot S_i = H_i P H_iᵀ + σ_z² I₂ for all slots at once

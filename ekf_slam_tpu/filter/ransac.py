@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ekf_slam_tpu.config import CAM_DIM, EngineConfig
 from ekf_slam_tpu.filter import association
+from ekf_slam_tpu.filter.ekf import f32_matmuls as _f32
 from ekf_slam_tpu.ops import camera as cam_ops
 from ekf_slam_tpu.ops import quaternion as quat
 
@@ -67,6 +68,7 @@ def support_projection(x_hyp: jnp.ndarray, cartesian: jnp.ndarray,
     return cam_ops.distort(cam_ops.project(hc, cam), cam)
 
 
+@_f32
 def run(x: jnp.ndarray, P: jnp.ndarray, z: jnp.ndarray, h: jnp.ndarray,
         H_xv: jnp.ndarray, H_y: jnp.ndarray, S: jnp.ndarray,
         ic_mask: jnp.ndarray, cartesian: jnp.ndarray, key: jax.Array,
