@@ -68,6 +68,13 @@ def main():
     jax.block_until_ready(traj)
     dt = time.perf_counter() - t0
 
+    # A benchmark of NaN-poisoned state is not a benchmark: refuse to
+    # report if the filter diverged (guards against precision regressions —
+    # TPU bf16-default matmuls NaNed the covariance before the f32
+    # precision pinning in filter/ekf.py).
+    assert bool(jnp.all(jnp.isfinite(traj))), "non-finite trajectories"
+    assert bool(jnp.all(jnp.isfinite(final.P))), "non-finite covariance"
+
     steps_per_sec = BATCH * FRAMES * n_rep / dt
     print(json.dumps({
         "metric": "batched_ekf_slam_steps_per_sec_per_chip_cap100",
