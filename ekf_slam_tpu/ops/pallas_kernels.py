@@ -39,9 +39,13 @@ def _kernel(Pij_ref, K_ref, PHt_ref, Jq_ref, out_ref):
     Kj = K_ref[pl.ds(j * TILE, TILE), :]
     PHti = PHt_ref[pl.ds(i * TILE, TILE), :]
     PHtj = PHt_ref[pl.ds(j * TILE, TILE), :]
+    # precision=HIGHEST: full-f32 multi-pass MXU dots — the covariance
+    # downdate cannot run at the bf16 default (see ekf.f32_matmuls).
     out = Pij_ref[:] - 0.5 * (
-        jnp.dot(Ki, PHtj.T, preferred_element_type=jnp.float32)
-        + jnp.dot(PHti, Kj.T, preferred_element_type=jnp.float32))
+        jnp.dot(Ki, PHtj.T, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+        + jnp.dot(PHti, Kj.T, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST))
 
     Jq = Jq_ref[0:8, 0:8]     # I3 ⊕ J4 ⊕ I1 stripe transform
     # One-hot extract/expand of the quaternion stripe (rows/cols 3:7 -> take

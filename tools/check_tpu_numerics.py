@@ -45,7 +45,38 @@ def run(precision, solver, B=64, T=16):
           f"P-asym={asym:.2e} pos_err={err:.4f} n_ic={nic}")
 
 
+def device_vs_cpu(B=8, T=10):
+    """Same f32 engine run on the accelerator vs host CPU: reports the max
+    trajectory deviation (quantifies on-device matmul accuracy end-to-end).
+    """
+    cfg = EngineConfig(
+        map=MapConfig(capacity=100, min_features_in_image=25,
+                      max_new_per_step=10),
+        sim=SimConfig(num_landmarks=128))
+    scn, xs, obs = simulate(jax.random.key(0), cfg, T)
+    st = engine.bootstrap(init_state(cfg),
+                          jax.tree.map(lambda a: a[0], obs), cfg)
+    stb = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), st)
+    keys = jax.random.split(jax.random.key(1), B)
+
+    def go(states, o, ks):
+        _, traj, _ = jax.vmap(
+            lambda s, k: engine.run_sequence(s, o, k, cfg))(states, ks)
+        return traj
+
+    traj_dev = jax.jit(go)(stb, obs, keys)
+    jax.block_until_ready(traj_dev)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        args_cpu = jax.device_put((stb, obs, keys), cpu)
+        traj_cpu = jax.jit(go)(*args_cpu)
+    dev = jnp.max(jnp.abs(jnp.asarray(traj_dev) - jnp.asarray(traj_cpu)))
+    print(f"device-vs-cpu max trajectory deviation over {T} frames: "
+          f"{float(dev):.2e}")
+
+
 if __name__ == "__main__":
     for precision in ("default", "float32"):
         for solver in ("cholesky", "newton"):
             run(precision, solver)
+    device_vs_cpu()
