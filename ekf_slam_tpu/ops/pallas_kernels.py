@@ -131,6 +131,58 @@ def fused_update_tail(P: jnp.ndarray, K: jnp.ndarray, PHt: jnp.ndarray,
     return jax.vmap(fused_update_tail)(P, K, PHt, Jq4)
 
 
+def _mm_kernel(A_ref, B_ref, out_ref, *, d2: int):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    # Zero the ragged contraction columns of the edge A block: pad contents
+    # are unspecified (NaN in interpret mode) and 0*NaN = NaN.
+    col = k * TILE + jax.lax.broadcasted_iota(jnp.int32, A_ref.shape, 1)
+    A = jnp.where(col < d2, A_ref[:], 0.0)
+    Bk = B_ref[pl.ds(k * TILE, TILE), :]
+    out_ref[:] += jnp.dot(A, Bk,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+
+
+def _mm_single(A, B):
+    D1, D2 = A.shape
+    M = B.shape[1]
+    nt_i = pl.cdiv(D1, TILE)
+    nt_k = pl.cdiv(D2, TILE)
+    Dp = nt_k * TILE
+    if Dp != D2:
+        # Zero row-padding of B kills the garbage columns of edge A blocks
+        # in the contraction.
+        B = jnp.concatenate([B, jnp.zeros((Dp - D2, M), B.dtype)])
+    import functools as _ft
+    return pl.pallas_call(
+        _ft.partial(_mm_kernel, d2=D2),
+        out_shape=jax.ShapeDtypeStruct((D1, M), A.dtype),
+        grid=(nt_i, nt_k),
+        in_specs=[
+            pl.BlockSpec((TILE, TILE), lambda i, k: (i, k)),
+            pl.BlockSpec((Dp, M), lambda i, k: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TILE, M), lambda i, k: (i, 0)),
+        interpret=_INTERPRET[0],
+    )(A, B)
+
+
+def f32_matmul_big(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Full-f32-accurate A @ B for a large A (e.g. the covariance) and a
+    narrow B, reading A from HBM ONCE: the f32 multi-pass happens on the
+    MXU from VMEM. XLA's equivalent (precision=HIGHEST) re-reads the
+    operands per pass — 3x the HBM traffic on the P-sized operand, which is
+    what the EKF update is bound by. Batched via vmap."""
+    if A.ndim == 2:
+        return _mm_single(A, B)
+    return jax.vmap(f32_matmul_big)(A, B)
+
+
 def pallas_supported() -> bool:
     """True when the default backend lowers Pallas TPU kernels."""
     try:

@@ -56,3 +56,28 @@ def test_fused_update_tail_batched():
     ref = jax.vmap(_reference_tail)(P, K, PHt, Jq)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_f32_matmul_big_matches_xla():
+    D1, D2, M = 210, 185, 48     # non-tile-divisible on both axes
+    key = jax.random.key(2)
+    A = jax.random.normal(key, (D1, D2), jnp.float32)
+    B = jax.random.normal(jax.random.key(3), (D2, M), jnp.float32)
+    ref = A @ B
+    pk._INTERPRET[0] = True
+    try:
+        got = pk.f32_matmul_big(A, B)
+    finally:
+        pk._INTERPRET[0] = False
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-3, rtol=1e-5)
+    # batched
+    Ab = jnp.stack([A, 2 * A])
+    Bb = jnp.stack([B, B])
+    pk._INTERPRET[0] = True
+    try:
+        got_b = pk.f32_matmul_big(Ab, Bb)
+    finally:
+        pk._INTERPRET[0] = False
+    np.testing.assert_allclose(np.asarray(got_b[1]), np.asarray(2 * A @ B),
+                               atol=2e-3, rtol=1e-5)
