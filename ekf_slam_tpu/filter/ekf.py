@@ -88,12 +88,12 @@ def update(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray, z: jnp.ndarray,
     # identity block there (zero Kalman-gain columns, see module docstring).
     r_eff = jnp.where(row_mask, r_diag, jnp.ones_like(r_diag))
 
-    if use_pallas and x.dtype == jnp.float32:
-        # single-HBM-read full-f32 product (ops/pallas_kernels.py)
-        from ekf_slam_tpu.ops import pallas_kernels
-        PHt = pallas_kernels.f32_matmul_big(P, H.T)
-    else:
-        PHt = P @ H.T                          # (D, M)
+    # NOTE: a Pallas single-read f32 PHt kernel exists
+    # (ops/pallas_kernels.f32_matmul_big) but measured SLOWER end-to-end
+    # than XLA's multi-pass matmul at this size (3802 vs 4075 steps/s) —
+    # XLA pipelines the batched matmul better than a vmapped 5x5-grid
+    # kernel. Kept as infrastructure; not used here.
+    PHt = P @ H.T                              # (D, M)
     S = H @ PHt + jnp.diag(r_eff)              # (M, M), SPD
     # W = S⁻¹ via Cholesky (the reference uses a plain inv(S), update.m:9).
     # Materializing the M×M inverse keeps the sequential triangular work at
