@@ -10,7 +10,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 
-from ekf_slam_tpu.config import EngineConfig, FilterConfig, MapConfig, SimConfig
+from ekf_slam_tpu.config import (EngineConfig, FilterConfig,
+                                 MapConfig, SimConfig)
 from ekf_slam_tpu.filter import engine
 from ekf_slam_tpu.filter.state import init_state
 from ekf_slam_tpu.sim import simulate
@@ -53,23 +54,32 @@ def device_vs_cpu(B=8, T=10):
         map=MapConfig(capacity=100, min_features_in_image=25,
                       max_new_per_step=10),
         sim=SimConfig(num_landmarks=128))
+    # pallas auto-detect keys off the global default backend, so the CPU
+    # replica must force the XLA update path explicitly.
+    cfg_cpu = EngineConfig(
+        filter=FilterConfig(pallas_update="off"),
+        map=MapConfig(capacity=100, min_features_in_image=25,
+                      max_new_per_step=10),
+        sim=SimConfig(num_landmarks=128))
     scn, xs, obs = simulate(jax.random.key(0), cfg, T)
     st = engine.bootstrap(init_state(cfg),
                           jax.tree.map(lambda a: a[0], obs), cfg)
     stb = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), st)
     keys = jax.random.split(jax.random.key(1), B)
 
-    def go(states, o, ks):
-        _, traj, _ = jax.vmap(
-            lambda s, k: engine.run_sequence(s, o, k, cfg))(states, ks)
-        return traj
+    def make_go(c):
+        def go(states, o, ks):
+            _, traj, _ = jax.vmap(
+                lambda s, k: engine.run_sequence(s, o, k, c))(states, ks)
+            return traj
+        return go
 
-    traj_dev = jax.jit(go)(stb, obs, keys)
+    traj_dev = jax.jit(make_go(cfg))(stb, obs, keys)
     jax.block_until_ready(traj_dev)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         args_cpu = jax.device_put((stb, obs, keys), cpu)
-        traj_cpu = jax.jit(go)(*args_cpu)
+        traj_cpu = jax.jit(make_go(cfg_cpu))(*args_cpu)
     dev = jnp.max(jnp.abs(jnp.asarray(traj_dev) - jnp.asarray(traj_cpu)))
     print(f"device-vs-cpu max trajectory deviation over {T} frames: "
           f"{float(dev):.2e}")
