@@ -159,3 +159,27 @@ def test_vmap_batching():
     Rs = jax.vmap(q_ops.q2r)(qs)
     assert Rs.shape == (16, 3, 3)
     np.testing.assert_allclose(Rs[3], oracle.q2r(np.asarray(qs[3])), rtol=1e-12)
+
+
+def test_dq_by_deuler_matches_autodiff_up_to_euler_order():
+    """dq_by_deuler (dq_by_deuler.m closed form) vs jacfwd of the module's
+    own euler -> q chain: the reference's formula indexes euler angles in
+    the REVERSED order of its rpy2tr composition (column-reversed
+    Jacobian). func_Q's only use multiplies by an ISOTROPIC noise
+    covariance (sigma_alpha^2 I), so G Pn G^T is invariant to the column
+    order and parity holds (the F_test_rpy2q.m intent)."""
+    import jax
+
+    from ekf_slam_tpu.ops import quaternion as quat
+
+    def euler_to_q(e):
+        return quat.r2q(quat.rpy2r(e[0], e[1], e[2]))
+
+    e = jnp.array([0.3, -0.2, 0.15]) * 1e-3
+    J_auto = jax.jacfwd(euler_to_q)(e)
+    J_ana = quat.dq_by_deuler(e)
+    np.testing.assert_allclose(np.asarray(J_ana),
+                               np.asarray(J_auto[:, ::-1]), atol=1e-6)
+    # and the isotropic quadratic form agrees exactly
+    np.testing.assert_allclose(np.asarray(J_ana @ J_ana.T),
+                               np.asarray(J_auto @ J_auto.T), atol=1e-6)
