@@ -71,7 +71,8 @@ def predict(x: jnp.ndarray, P: jnp.ndarray, cfg: FilterConfig):
 @f32_matmuls
 def update(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray, z: jnp.ndarray,
            h: jnp.ndarray, row_mask: jnp.ndarray, r_diag: jnp.ndarray,
-           use_pallas: bool = False, gain_solver: str = "cholesky"):
+           use_pallas: bool = False, gain_solver: str = "cholesky",
+           PHt: jnp.ndarray = None):
     """Masked EKF measurement update (update.m:1-32).
 
     H: (M, D) dense Jacobian, rows for unused measurements MUST be zero.
@@ -88,12 +89,16 @@ def update(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray, z: jnp.ndarray,
     # identity block there (zero Kalman-gain columns, see module docstring).
     r_eff = jnp.where(row_mask, r_diag, jnp.ones_like(r_diag))
 
-    # NOTE: a Pallas single-read f32 PHt kernel exists
-    # (ops/pallas_kernels.f32_matmul_big) but measured SLOWER end-to-end
-    # than XLA's multi-pass matmul at this size (3802 vs 4075 steps/s) —
-    # XLA pipelines the batched matmul better than a vmapped 5x5-grid
-    # kernel. Kept as infrastructure; not used here.
-    PHt = P @ H.T                              # (D, M)
+    # PHt may be precomputed by the caller from H's block structure
+    # (measurement.pht_slots — one P read; the dense product under
+    # f32-accurate precision re-reads P three times). The caller must have
+    # applied the SAME row mask to it. A Pallas single-read matmul kernel
+    # also exists (ops/pallas_kernels.f32_matmul_big) but measured slower
+    # end-to-end (3802 vs 4075 steps/s); kept as infrastructure.
+    if PHt is None:
+        PHt = P @ H.T                          # (D, M)
+    else:
+        PHt = PHt * mask[None, :]
     S = H @ PHt + jnp.diag(r_eff)              # (M, M), SPD
     # W = S⁻¹ via Cholesky (the reference uses a plain inv(S), update.m:9).
     # Materializing the M×M inverse keeps the sequential triangular work at

@@ -115,9 +115,14 @@ def step_core(state: FilterState, z: jnp.ndarray, z_valid: jnp.ndarray,
 
     # -- 4. 1-point RANSAC → LI inliers ---------------------------------------
     vm = visible.astype(H_xv.dtype)[:, None, None]
+    H_xv_m, H_y_m = H_xv * vm, H_y * vm
+    # One P read produces every slot's gain columns, shared by RANSAC's
+    # 1-match updates AND the LI update (its dense P@Hᵀ would re-read P
+    # three times under f32-accurate matmul precision).
+    pht_prior = measurement.pht_slots(P_prior, H_xv_m, H_y_m)
     li, support = ransac.run(
-        x_prior, P_prior, z, h, H_xv * vm, H_y * vm, S, ic,
-        state.cartesian, key, cfg)
+        x_prior, P_prior, z, h, H_xv_m, H_y_m, S, ic,
+        state.cartesian, key, cfg, pht=pht_prior)
 
     # -- 5. LI update from the prior (ekf_update_li_inliers.m; R = I there).
     # With use_iterated_update the LI step relinearizes (Gauss-Newton IEKF,
@@ -127,7 +132,8 @@ def step_core(state: FilterState, z: jnp.ndarray, z_valid: jnp.ndarray,
             x_prior, P_prior, z, li, state, cfg)
     else:
         x_post, P_post = _masked_update(
-            x_prior, P_prior, H_xv, H_y, z, h, li, cfg)
+            x_prior, P_prior, H_xv_m, H_y_m, z, h, li, cfg,
+            pht_all=pht_prior)
 
     # -- 6. HI rescue from the posterior (rescue_hi_inliers.m) ----------------
     h2, vis2, H_xv2, H_y2 = _linearize(x_post, P_post, state, cfg)[:4]
@@ -135,8 +141,11 @@ def step_core(state: FilterState, z: jnp.ndarray, z_valid: jnp.ndarray,
     hi = association.rescue_high_innovation(z, h2, S_noR, ic & vis2, li, cfg)
 
     # -- 7. HI update from the posterior (ekf_update_hi_inliers.m; R = I) -----
+    vm2 = vis2.astype(H_xv2.dtype)[:, None, None]
+    H_xv2_m, H_y2_m = H_xv2 * vm2, H_y2 * vm2
+    pht_post = measurement.pht_slots(P_post, H_xv2_m, H_y2_m)
     x_post, P_post = _masked_update(
-        x_post, P_post, H_xv2, H_y2, z, h2, hi, cfg)
+        x_post, P_post, H_xv2_m, H_y2_m, z, h2, hi, cfg, pht_all=pht_post)
 
     if cfg.debug_nan_checks:
         from ekf_slam_tpu.utils.metrics import check_finite
@@ -167,28 +176,36 @@ def step(state: FilterState, obs: FrameObs, key: jax.Array,
     return state, info
 
 
-def _masked_update(x, P, H_xv, H_y, z, h, slot_mask, cfg: EngineConfig):
+def _masked_update(x, P, H_xv, H_y, z, h, slot_mask, cfg: EngineConfig,
+                   pht_all=None):
     """EKF update over the masked slots. With max_update_obs = M > 0 the M
     most-relevant slots (inliers first) are GATHERED into a compact (2M, D)
     Jacobian — the solve shrinks from 2*CAP to 2M rows; identical result
-    whenever the inlier count fits in M (tests/test_compact_update.py)."""
+    whenever the inlier count fits in M (tests/test_compact_update.py).
+
+    pht_all: optional (CAP, D, 2) per-slot gain columns from
+    measurement.pht_slots (same H blocks); saves the dense P@Hᵀ."""
     cap = slot_mask.shape[0]
     M = cfg.map.max_update_obs
     use_pallas = _use_pallas(cfg)
     solver = cfg.filter.gain_solver
     if M <= 0 or M >= cap:
         H = measurement.dense_H(H_xv, H_y, slot_mask)
+        PHt = None if pht_all is None else \
+            pht_all.transpose(1, 0, 2).reshape(P.shape[0], 2 * cap)
         return ekf.update(
             x, P, H, z.reshape(-1), h.reshape(-1), jnp.repeat(slot_mask, 2),
             jnp.ones(2 * cap, x.dtype), use_pallas=use_pallas,
-            gain_solver=solver)
+            gain_solver=solver, PHt=PHt)
     sel = jnp.argsort(~slot_mask)[:M]          # inlier slots first (stable)
     sel_mask = slot_mask[sel]
     H = measurement.compact_dense_H(H_xv[sel], H_y[sel], sel, sel_mask, cap)
+    PHt = None if pht_all is None else \
+        pht_all[sel].transpose(1, 0, 2).reshape(P.shape[0], 2 * M)
     return ekf.update(
         x, P, H, z[sel].reshape(-1), h[sel].reshape(-1),
         jnp.repeat(sel_mask, 2), jnp.ones(2 * M, x.dtype),
-        use_pallas=use_pallas, gain_solver=solver)
+        use_pallas=use_pallas, gain_solver=solver, PHt=PHt)
 
 
 def _use_pallas(cfg: EngineConfig) -> bool:

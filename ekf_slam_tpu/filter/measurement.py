@@ -176,6 +176,21 @@ def dense_H(H_xv: jnp.ndarray, H_y: jnp.ndarray,
     return jnp.concatenate([Hxv, Hy], axis=1)
 
 
+@_f32_matmuls
+def pht_slots(P: jnp.ndarray, H_xv: jnp.ndarray,
+              H_y: jnp.ndarray) -> jnp.ndarray:
+    """P Hᵢᵀ for every slot, exploiting H's two-block sparsity: one P read
+    and two short-contraction einsums instead of the dense (D, 2·CAP)
+    product (which under f32-accurate matmul precision re-reads P three
+    times). Returns (CAP, D, 2). Rows are masked by whatever mask was
+    already applied to H_xv/H_y."""
+    cap = H_xv.shape[0]
+    P1 = P[:, :CAM_DIM]                                    # (D, 13)
+    Py = P[:, CAM_DIM:].reshape(P.shape[0], cap, 6)        # (D, CAP, 6)
+    return (jnp.einsum("dk,cik->cdi", P1, H_xv)
+            + jnp.einsum("dcj,cij->cdi", Py, H_y))
+
+
 def compact_dense_H(H_xv: jnp.ndarray, H_y: jnp.ndarray,
                     slots: jnp.ndarray, row_mask: jnp.ndarray,
                     cap: int) -> jnp.ndarray:

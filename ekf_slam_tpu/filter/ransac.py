@@ -72,24 +72,21 @@ def support_projection(x_hyp: jnp.ndarray, cartesian: jnp.ndarray,
 def run(x: jnp.ndarray, P: jnp.ndarray, z: jnp.ndarray, h: jnp.ndarray,
         H_xv: jnp.ndarray, H_y: jnp.ndarray, S: jnp.ndarray,
         ic_mask: jnp.ndarray, cartesian: jnp.ndarray, key: jax.Array,
-        cfg: EngineConfig):
+        cfg: EngineConfig, pht: jnp.ndarray = None):
     """Full 1-point RANSAC. Returns (li_mask, best_support).
 
     x, P: prior state/covariance. z/h/S: per-slot measurements, predictions
     and innovation covariances from the prior. H_xv (CAP,2,13) / H_y
-    (CAP,2,6): per-slot Jacobian blocks. ic_mask: IC slots.
+    (CAP,2,6): per-slot Jacobian blocks. ic_mask: IC slots. pht: optional
+    precomputed per-slot gain columns (CAP, D, 2) — the engine shares one
+    measurement.pht_slots result between RANSAC and the LI update.
     """
     cap = ic_mask.shape[0]
     nhyp = cfg.ransac.num_hypotheses
     thr = cfg.filter.sigma_z  # RANSAC threshold = std_z (ransac_hypotheses.m:6)
 
-    # Per-slot gain columns P Hᵢᵀ exploiting H's two-block sparsity
-    # (H_i = [H_xv at cols 0:13 | H_y at the slot's 6 cols]): ~50x fewer
-    # flops than the dense (D, 2*CAP) product and a single P read.
-    P1 = P[:, :CAM_DIM]                                   # (D, 13)
-    Py = P[:, CAM_DIM:].reshape(P.shape[0], cap, 6)       # (D, CAP, 6)
-    PHt_slots = (jnp.einsum("dk,cik->cdi", P1, H_xv)
-                 + jnp.einsum("dcj,cij->cdi", Py, H_y))   # (CAP, D, 2)
+    from ekf_slam_tpu.filter import measurement
+    PHt_slots = measurement.pht_slots(P, H_xv, H_y) if pht is None else pht
 
     picks = sample_ic_indices(key, ic_mask, nhyp)         # (NHYP,)
 
