@@ -114,15 +114,15 @@ def step_core(state: FilterState, z: jnp.ndarray, z_valid: jnp.ndarray,
     ic = association.individually_compatible(z, z_valid, h, visible, S, cfg)
 
     # -- 4. 1-point RANSAC → LI inliers ---------------------------------------
+    # NOTE: sharing one full-CAP pht_slots between RANSAC and the updates
+    # measured SLOWER end-to-end (3649 vs 4075 steps/s): it computes 2·CAP
+    # gain columns + a transposed gather, vs the compact update's dense
+    # product over only 2M gathered rows. The optional pht plumbing remains
+    # for configurations where M approaches CAP.
     vm = visible.astype(H_xv.dtype)[:, None, None]
-    H_xv_m, H_y_m = H_xv * vm, H_y * vm
-    # One P read produces every slot's gain columns, shared by RANSAC's
-    # 1-match updates AND the LI update (its dense P@Hᵀ would re-read P
-    # three times under f32-accurate matmul precision).
-    pht_prior = measurement.pht_slots(P_prior, H_xv_m, H_y_m)
     li, support = ransac.run(
-        x_prior, P_prior, z, h, H_xv_m, H_y_m, S, ic,
-        state.cartesian, key, cfg, pht=pht_prior)
+        x_prior, P_prior, z, h, H_xv * vm, H_y * vm, S, ic,
+        state.cartesian, key, cfg)
 
     # -- 5. LI update from the prior (ekf_update_li_inliers.m; R = I there).
     # With use_iterated_update the LI step relinearizes (Gauss-Newton IEKF,
@@ -132,8 +132,7 @@ def step_core(state: FilterState, z: jnp.ndarray, z_valid: jnp.ndarray,
             x_prior, P_prior, z, li, state, cfg)
     else:
         x_post, P_post = _masked_update(
-            x_prior, P_prior, H_xv_m, H_y_m, z, h, li, cfg,
-            pht_all=pht_prior)
+            x_prior, P_prior, H_xv, H_y, z, h, li, cfg)
 
     # -- 6. HI rescue from the posterior (rescue_hi_inliers.m) ----------------
     h2, vis2, H_xv2, H_y2 = _linearize(x_post, P_post, state, cfg)[:4]
@@ -141,11 +140,8 @@ def step_core(state: FilterState, z: jnp.ndarray, z_valid: jnp.ndarray,
     hi = association.rescue_high_innovation(z, h2, S_noR, ic & vis2, li, cfg)
 
     # -- 7. HI update from the posterior (ekf_update_hi_inliers.m; R = I) -----
-    vm2 = vis2.astype(H_xv2.dtype)[:, None, None]
-    H_xv2_m, H_y2_m = H_xv2 * vm2, H_y2 * vm2
-    pht_post = measurement.pht_slots(P_post, H_xv2_m, H_y2_m)
     x_post, P_post = _masked_update(
-        x_post, P_post, H_xv2_m, H_y2_m, z, h2, hi, cfg, pht_all=pht_post)
+        x_post, P_post, H_xv2, H_y2, z, h2, hi, cfg)
 
     if cfg.debug_nan_checks:
         from ekf_slam_tpu.utils.metrics import check_finite
