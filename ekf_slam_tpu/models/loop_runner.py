@@ -47,12 +47,14 @@ def make_frame_fn(model, variables, lcfg: lc.LoopConfig,
         warm = db.count >= lcfg.min_db
         res = lc.query(db, descr, kps, lcfg, key)
         res = res._replace(is_hypothesis=res.is_hypothesis & warm)
-        db2, declared, match_id = lc.step_temporal(db, res, lcfg)
-        z_pos = db2.pose[jnp.clip(match_id, 0, db2.pose.shape[0] - 1)][0:3]
+        db2, declared, match_slot, match_frame = lc.step_temporal(
+            db, res, lcfg)
+        z_pos = db2.pose[
+            jnp.clip(match_slot, 0, db2.pose.shape[0] - 1)][0:3]
         x2, P2 = loop_fusion.apply_loop_constraint(
             x, P, z_pos.astype(x.dtype), loop_sigma, declared)
         db3 = lc.push(db2, descr, kps, pose)
-        out = LoopStepOut(declared=declared, match_id=match_id,
+        out = LoopStepOut(declared=declared, match_id=match_frame,
                           inliers=res.best_inliers,
                           similarity=res.similarities[0])
         return db3, x2, P2, out

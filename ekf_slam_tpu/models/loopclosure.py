@@ -56,6 +56,11 @@ class LoopDatabase:
     kp_yx: jnp.ndarray        # (N, K, 2)
     kp_descr: jnp.ndarray     # (N, K, Dk)
     pose: jnp.ndarray         # (N, 7) [r(3), q(4)] camera pose per frame
+    frame_id: jnp.ndarray     # (N,) int32 absolute frame index per slot
+                              # (-1 = empty). Once count > capacity the ring
+                              # wraps and slot order no longer equals frame
+                              # order, so age/recency MUST come from this,
+                              # not from the slot index.
     count: jnp.ndarray        # () int32 — frames pushed so far
     # temporal-consistency state (close_kitti_loops.py:113-138)
     streak: jnp.ndarray       # () int32 consecutive hypothesis count
@@ -70,6 +75,7 @@ def init_db(cfg: LoopConfig, descr_dim: int, num_kp: int,
         kp_yx=jnp.zeros((n, num_kp, 2), dtype),
         kp_descr=jnp.zeros((n, num_kp, kp_dim), dtype),
         pose=jnp.zeros((n, 7), dtype),
+        frame_id=jnp.full((n,), -1, jnp.int32),
         count=jnp.zeros((), jnp.int32),
         streak=jnp.zeros((), jnp.int32),
         last_match=jnp.full((), -1, jnp.int32))
@@ -81,17 +87,20 @@ def push(db: LoopDatabase, descr: jnp.ndarray, kp: Keypoints,
     close_kitti_loops.py:106)."""
     slot = db.count % db.descr.shape[0]
     return db.replace(
-        descr=db.descr.at[slot].set(descr),
-        kp_yx=db.kp_yx.at[slot].set(kp.yx),
-        kp_descr=db.kp_descr.at[slot].set(kp.descr),
-        pose=db.pose.at[slot].set(pose),
+        descr=db.descr.at[slot].set(descr.astype(db.descr.dtype)),
+        kp_yx=db.kp_yx.at[slot].set(kp.yx.astype(db.kp_yx.dtype)),
+        kp_descr=db.kp_descr.at[slot].set(
+            kp.descr.astype(db.kp_descr.dtype)),
+        pose=db.pose.at[slot].set(pose.astype(db.pose.dtype)),
+        frame_id=db.frame_id.at[slot].set(db.count),
         count=db.count + 1)
 
 
 class QueryResult(NamedTuple):
-    candidate_ids: jnp.ndarray   # (top_k,) frame indices (may be invalid)
+    candidate_ids: jnp.ndarray   # (top_k,) ring SLOTS (may be invalid)
     similarities: jnp.ndarray    # (top_k,)
-    best_id: jnp.ndarray         # () best geometric-verified candidate
+    best_slot: jnp.ndarray       # () ring slot of the best candidate
+    best_id: jnp.ndarray         # () ABSOLUTE frame index of best candidate
     best_inliers: jnp.ndarray    # () inlier count of best candidate
     is_hypothesis: jnp.ndarray   # () bool — passed sim + geometry gates
 
@@ -99,11 +108,13 @@ class QueryResult(NamedTuple):
 def query(db: LoopDatabase, descr: jnp.ndarray, kp: Keypoints,
           cfg: LoopConfig, key: jax.Array) -> QueryResult:
     """Retrieve + geometrically verify loop-closure candidates."""
-    n = db.descr.shape[0]
-    ids = jnp.arange(n)
-    # Valid entries: written, and at least exclude_recent frames old.
-    age = db.count - 1 - ids                 # ring: id == frame index here
-    valid = (ids < db.count) & (age >= cfg.exclude_recent)
+    # Valid entries: written, and at least exclude_recent frames old. Age is
+    # computed from the stored absolute frame index — after the ring wraps
+    # (count > capacity) the newest frames occupy the LOWEST slots, so a
+    # slot-index age would invert the recency exclusion and return near
+    # self-matches (close_kitti_loops.py:108 excludes db[:-200] by frame).
+    age = db.count - 1 - db.frame_id
+    valid = (db.frame_id >= 0) & (age >= cfg.exclude_recent)
     sims = db.descr @ descr                  # ONE matmul (test_net.py:169)
     sims = jnp.where(valid, sims, -jnp.inf)
     top_sims, top_ids = jax.lax.top_k(sims, cfg.top_k)
@@ -124,8 +135,8 @@ def query(db: LoopDatabase, descr: jnp.ndarray, kp: Keypoints,
     best = jnp.argmax(score)
     return QueryResult(
         candidate_ids=top_ids, similarities=top_sims,
-        best_id=top_ids[best], best_inliers=inliers[best],
-        is_hypothesis=jnp.any(gate))
+        best_slot=top_ids[best], best_id=db.frame_id[top_ids[best]],
+        best_inliers=inliers[best], is_hypothesis=jnp.any(gate))
 
 
 def step_temporal(db: LoopDatabase, result: QueryResult,
@@ -133,7 +144,10 @@ def step_temporal(db: LoopDatabase, result: QueryResult,
     """Temporal-consistency filter (close_kitti_loops.py:113-138): a loop is
     declared after `consistency_count` consecutive frames whose hypothesis
     ids stay within `consistency_window` of each other. Returns
-    (new_db, loop_declared (bool), loop_id (int32))."""
+    (new_db, loop_declared (bool), loop_slot (int32), loop_frame (int32)).
+    The id-window comparison uses ABSOLUTE frame indices (best_id), which
+    stay monotone across the ring-buffer wrap; loop_slot addresses db
+    arrays (pose, kp) for the matched frame."""
     near = jnp.abs(result.best_id - db.last_match) <= cfg.consistency_window
     cont = result.is_hypothesis & (near | (db.streak == 0))
     streak = jnp.where(cont, db.streak + 1, jnp.where(
@@ -143,7 +157,7 @@ def step_temporal(db: LoopDatabase, result: QueryResult,
         streak=jnp.where(declared, 0, streak),
         last_match=jnp.where(result.is_hypothesis, result.best_id,
                              jnp.full((), -1, jnp.int32)))
-    return new_db, declared, result.best_id
+    return new_db, declared, result.best_slot, result.best_id
 
 
 # ------------------------------------------------------- fundamental matrix

@@ -121,12 +121,19 @@ def make_sharded_train_step(model: VSS, tcfg: TrainConfig, mesh: Mesh):
 
 def fit(model: VSS, tcfg: TrainConfig, batches, num_steps: int,
         mesh: Optional[Mesh] = None, eval_fn=None, ckpt_dir=None,
-        logger=None, rng=None):
+        logger=None, rng=None, class_weights=None, data_dir=None):
     """Training loop — the utils.train_and_eval equivalent (utils.py:526-588):
     Adam + clip, checkpoint every tcfg.ckpt_every steps (keep-all), optional
     eval callback, console/metrics logging.
 
     batches: iterator of (images, labels_onehot); cycled if exhausted.
+    class_weights: (13,) dataset-level inverse class frequencies (the
+    reference precomputes these over the whole corpus as loss_weights.txt,
+    gen_tfrecords.py:104-105,162-167 — records.load_weights reads our
+    equivalent). Defaults to load_weights(data_dir) when data_dir is given;
+    only without either does it fall back to noisy per-batch estimation
+    (appropriate for the synthetic generator, where batch statistics ARE
+    the dataset statistics).
     """
     import itertools
     import os as _os
@@ -138,14 +145,22 @@ def fit(model: VSS, tcfg: TrainConfig, batches, num_steps: int,
     else:
         step_fn = jax.jit(lambda s, i, l, w, r: train_step(
             model, tcfg, s, i, l, w, r))
+    if class_weights is None and data_dir is not None:
+        from ekf_slam_tpu.data import records
+        class_weights = records.load_weights(data_dir)
+    if class_weights is not None:
+        class_weights = jnp.asarray(class_weights, jnp.float32)
     it = itertools.cycle(batches) if hasattr(batches, "__len__") else batches
     metrics = {}
     for step_i in range(num_steps):
         images, labels = next(it)
         images = jnp.asarray(images)
         labels = jnp.asarray(labels)
-        w = jnp.asarray(1.0 / jnp.maximum(
-            jnp.mean(labels, axis=(0, 1, 2)), 1e-3))
+        if class_weights is not None:
+            w = class_weights
+        else:
+            w = jnp.asarray(1.0 / jnp.maximum(
+                jnp.mean(labels, axis=(0, 1, 2)), 1e-3))
         rng, k = jax.random.split(rng)
         state, metrics = step_fn(state, images, labels, w, k)
         if logger is not None:

@@ -25,13 +25,22 @@ from ekf_slam_tpu.filter.association import mahalanobis2
 def extract_patch(img: jnp.ndarray, center_uv: jnp.ndarray,
                   half: int) -> jnp.ndarray:
     """(2h+1)² patch around (u, v) with border clamping. Traced center."""
+    return extract_patch_anchored(img, center_uv, half)[0]
+
+
+def extract_patch_anchored(img: jnp.ndarray, center_uv: jnp.ndarray,
+                           half: int):
+    """Like extract_patch but also returns the clamped top-left anchor
+    (u0, v0) actually used — near the border it differs from
+    round(center)−half, and any pixel coordinate derived from the patch
+    must come from the anchor, not from the requested center."""
     H, W = img.shape
     size = 2 * half + 1
     u0 = jnp.clip(jnp.round(center_uv[0]).astype(jnp.int32) - half,
                   0, W - size)
     v0 = jnp.clip(jnp.round(center_uv[1]).astype(jnp.int32) - half,
                   0, H - size)
-    return jax.lax.dynamic_slice(img, (v0, u0), (size, size))
+    return jax.lax.dynamic_slice(img, (v0, u0), (size, size)), u0, v0
 
 
 def ncc_scores(window: jnp.ndarray, template: jnp.ndarray) -> jnp.ndarray:
@@ -68,18 +77,28 @@ def match_feature(img: jnp.ndarray, template: jnp.ndarray,
     """
     t = template.shape[-1]
     half_t = t // 2
-    win = extract_patch(img, h_pred, search_radius + half_t)
+    win, u0, v0 = extract_patch_anchored(img, h_pred, search_radius + half_t)
     scores = ncc_scores(win, template)                   # (2R+1, 2R+1)
+    # Candidate pixel coordinates come from the CLAMPED window anchor: near
+    # the border the window shifts inside the image, so offset (bx, by)
+    # lands the template center at (u0+half_t+bx, v0+half_t+by) — deriving
+    # z from h_pred + offset there would bias the measurement by the clamp
+    # amount (up to R+half_t px) and could even leave the image. The
+    # innovation used for the chi^2 gate is measured against h_pred from
+    # the same true candidate positions (matching.m keeps its search
+    # coordinates in the image frame throughout, matching.m:21-38).
     R = search_radius
-    d = jnp.arange(-R, R + 1, dtype=img.dtype)
-    du, dv = jnp.meshgrid(d, d, indexing="xy")
-    nu = jnp.stack([du, dv], axis=-1)                    # offset = innovation
+    k = jnp.arange(2 * R + 1, dtype=img.dtype)
+    cu = u0.astype(img.dtype) + half_t + k               # candidate u coords
+    cv = v0.astype(img.dtype) + half_t + k               # candidate v coords
+    du, dv = jnp.meshgrid(cu - h_pred[0], cv - h_pred[1], indexing="xy")
+    nu = jnp.stack([du, dv], axis=-1)                    # true innovation
     gate = mahalanobis2(nu, S) < chi2_gate               # χ² ellipse mask
     masked = jnp.where(gate, scores, -jnp.inf)
     best = jnp.argmax(masked)
     by, bx = best // scores.shape[1], best % scores.shape[1]
     score = masked[by, bx]
-    z = h_pred + jnp.stack([d[bx], d[by]])
+    z = jnp.stack([cu[bx], cv[by]])
     found = jnp.isfinite(score) & (score > min_ncc)
     return z, jnp.where(jnp.isfinite(score), score, -1.0), found
 

@@ -102,7 +102,7 @@ def main():
     st = engine.bootstrap(init_state(cfg),
                           jax.tree.map(lambda a: a[0], obs), cfg)
     db = None
-    err_nolc, err_lc, loops = [], [], []
+    err_lc, loops, traj = [], [], []
     for t in range(T):
         o = jax.tree.map(lambda a: a[t], obs)
         st, info = step(st, o, jax.random.key(100 + t), cfg)
@@ -116,19 +116,21 @@ def main():
         res = lc.query(db, descr, kps, lcfg, jax.random.key(200 + t))
         res = res._replace(
             is_hypothesis=res.is_hypothesis & jnp.asarray(warm))
-        db, declared, match_id = lc.step_temporal(db, res, lcfg)
+        db, declared, match_slot, match_frame = lc.step_temporal(
+            db, res, lcfg)
         if bool(declared):
-            z = db.pose[int(match_id)][0:3]
+            z = db.pose[int(match_slot)][0:3]
             x_new, P_new = loop_fusion.apply_loop_constraint(
                 st.x, st.P, z, sigma=0.02, enabled=jnp.asarray(True))
             st = st.replace(x=x_new, P=P_new)
-            loops.append((t, int(match_id)))
+            loops.append((t, int(match_frame)))
         db = lc.push(db, descr, kps, pose)
+        traj.append(np.asarray(st.x[:13]))
         e = float(jnp.linalg.norm(st.x[0:3] - xs[t][0:3]))
         err_lc.append(e)
 
     dump_trajectory(os.path.join(args.out, "trajectory.npz"),
-                    np.zeros((T, 13)), truth=np.asarray(xs))
+                    np.stack(traj), truth=np.asarray(xs))
     print(f"loops declared: {loops}")
     print("pos err (last 10):", [round(e, 4) for e in err_lc[-10:]])
     print(f"outputs in {args.out}")

@@ -68,7 +68,7 @@ def _known_map_state(cfg, scn):
     cap = cfg.map.capacity
     n = min(L, cap)
     slots = jnp.zeros((cap, 6), cfg.jnp_dtype)
-    slots = slots.at[:n, 0:3].set(scn.landmarks[:n])
+    slots = slots.at[:n, 0:3].set(scn.landmarks[:n].astype(cfg.jnp_dtype))
     x = st.x.at[CAM_DIM:].set(slots.reshape(-1))
     dim_idx = CAM_DIM + 6 * jnp.arange(n)[:, None] + jnp.arange(3)[None]
     P = st.P.at[dim_idx.reshape(-1), dim_idx.reshape(-1)].set(1e-6)
@@ -76,7 +76,8 @@ def _known_map_state(cfg, scn):
         x=x, P=P,
         active=st.active.at[:n].set(True),
         cartesian=st.cartesian.at[:n].set(True),
-        landmark_id=st.landmark_id.at[:n].set(jnp.arange(n)))
+        landmark_id=st.landmark_id.at[:n].set(
+            jnp.arange(n, dtype=st.landmark_id.dtype)))
 
 
 def test_tracking_known_map():

@@ -86,16 +86,56 @@ def test_loop_retrieval_end_to_end():
         res = lc.query(db, descrs[2], q_kp, cfg, jax.random.key(20 + t))
         assert int(res.best_id) == 2
         assert bool(res.is_hypothesis)
-        db, d, loop_id = lc.step_temporal(db, res, cfg)
+        db, d, loop_slot, loop_frame = lc.step_temporal(db, res, cfg)
         declared = declared or bool(d)
     assert declared
-    assert int(loop_id) == 2
+    assert int(loop_slot) == 2
+    assert int(loop_frame) == 2
+
+
+def test_ring_wrap_excludes_recent_and_keeps_frame_ids():
+    """After the ring wraps, the newest frames sit in the LOWEST slots; the
+    recency exclusion and the returned ids must follow absolute frame
+    indices, not slot order (advisor finding r1)."""
+    cfg = lc.LoopConfig(capacity=8, top_k=2, exclude_recent=3, min_db=0,
+                        sim_threshold=0.5, min_inliers=0,
+                        ransac_hypotheses=4)
+    Dd, K, Dk = 8, 12, 4
+    db = lc.init_db(cfg, Dd, K, Dk)
+    n_frames = 11  # wraps: frames 8, 9, 10 land in slots 0, 1, 2
+    descrs = jax.random.normal(jax.random.key(30), (n_frames, Dd))
+    descrs = descrs / jnp.linalg.norm(descrs, axis=-1, keepdims=True)
+    kps = kp_mod.Keypoints(
+        yx=jax.random.uniform(jax.random.key(31), (n_frames, K, 2)) * 40.0,
+        response=jnp.ones((n_frames, K)),
+        orientation=jnp.zeros((n_frames, K)),
+        descr=jax.random.normal(jax.random.key(32), (n_frames, K, Dk)))
+    poses = jnp.zeros((n_frames, 7)).at[:, 3].set(1.0)
+    db = _push_frames(db, descrs, kps, poses)
+    assert int(db.count) == n_frames
+    # Slot 1 now holds frame 9 (not frame 1).
+    assert int(db.frame_id[1]) == 9
+
+    # Query with the most recent frame's own content: frames 8/9/10 are
+    # within exclude_recent=3 and must NOT be retrievable even though they
+    # occupy the oldest-looking slots 0-2.
+    q_kp = jax.tree.map(lambda a: a[10], kps)
+    res = lc.query(db, descrs[10], q_kp, cfg, jax.random.key(33))
+    retrieved_frames = np.asarray(db.frame_id)[np.asarray(res.candidate_ids)]
+    assert all(f <= n_frames - 1 - cfg.exclude_recent
+               for f in retrieved_frames)
+    # Query with frame 7's content (slot 7, still valid): best must map back
+    # to absolute frame 7 through the slot indirection.
+    q_kp7 = jax.tree.map(lambda a: a[7], kps)
+    res7 = lc.query(db, descrs[7], q_kp7, cfg, jax.random.key(34))
+    assert int(res7.best_id) == 7
+    assert int(res7.best_slot) == 7 % cfg.capacity
 
 
 def test_loop_constraint_pulls_position():
     cfg = EngineConfig()
     st = init_state(cfg)
-    P = st.P.at[0:3, 0:3].set(jnp.eye(3) * 1.0)  # uncertain position
+    P = st.P.at[0:3, 0:3].set(jnp.eye(3, dtype=st.P.dtype))  # uncertain pos
     z = jnp.array([0.5, -0.2, 0.1], st.x.dtype)
     x_new, P_new = loop_fusion.apply_loop_constraint(
         st.x, P, z, sigma=0.01, enabled=jnp.asarray(True))

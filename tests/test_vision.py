@@ -65,6 +65,36 @@ def test_ncc_finds_shifted_template():
     assert float(score) > 0.9
 
 
+def test_ncc_border_window_unbiased():
+    """Predictions near the image border: the search window clamps inside
+    the image, and the returned z must come from the CLAMPED anchor, not
+    from h_pred + offset (advisor finding r1 — the old code returned
+    out-of-image z with found=True for a true feature at u=5)."""
+    img = blob_image(centers=((20, 5),), sigs=(1.5,))  # feature at u=5,v=20
+    tmpl = img[20 - 6:20 + 7, 0:13]  # 13x13 clamped crop around it
+    h_pred = jnp.array([5.0, 20.0])  # prediction exactly on the feature
+    S = jnp.eye(2) * 100.0           # large S: gate passes wide offsets
+    z, score, found = ncc.match_feature(
+        img, tmpl, h_pred, S, chi2_gate=5.9915, search_radius=12,
+        min_ncc=0.5)
+    assert bool(found)
+    # In-image and unbiased (within the 0.5 px anchor rounding).
+    assert 0.0 <= float(z[0]) and 0.0 <= float(z[1])
+    np.testing.assert_allclose(np.asarray(z), [5.0, 20.0], atol=1.0)
+
+
+def test_ncc_interior_exact_match_centered():
+    """Interior feature, prediction on truth: z == truth exactly (no 0.5 px
+    anchor bias) and the innovation gate sees true image-frame coords."""
+    img = blob_image()
+    tmpl = img[20 - 6:20 + 7, 30 - 6:30 + 7]
+    z, score, found = ncc.match_feature(
+        img, tmpl, jnp.array([30.0, 20.0]), jnp.eye(2) * 25.0,
+        chi2_gate=5.9915, search_radius=8, min_ncc=0.5)
+    assert bool(found)
+    np.testing.assert_allclose(np.asarray(z), [30.0, 20.0], atol=1e-6)
+
+
 def test_patch_warp_identity_pose():
     """Same pose at init and now -> homography = I -> patch round-trips."""
     cfg = EngineConfig()
