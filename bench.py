@@ -35,7 +35,10 @@ def main():
     cfg = EngineConfig(
         # newton: Newton-Schulz SPD-inverse gain — pure MXU, tracks the
         # Cholesky gain to f32 accuracy (tests/test_compact_update.py)
-        filter=FilterConfig(gain_solver="newton"),
+        filter=FilterConfig(
+            gain_solver=os.environ.get("BENCH_GAIN", "newton"),
+            share_pht=os.environ.get("BENCH_SHARE_PHT", "0") == "1",
+            fused_step=os.environ.get("BENCH_FUSED", "auto")),
         map=MapConfig(capacity=100, min_features_in_image=25,
                       max_new_per_step=10),
         sim=SimConfig(num_landmarks=128),

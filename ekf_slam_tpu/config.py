@@ -90,6 +90,18 @@ class FilterConfig:
     # "newton" (Newton-Schulz, pure MXU; ~1e-6 relative accuracy at f32 —
     # see ekf._spd_inverse_newton)
     gain_solver: str = "cholesky"
+    # Share RANSAC's per-slot P Hᵀ columns ((D, CAP, 2), one P-read einsum)
+    # with both EKF updates instead of each update re-computing a dense
+    # P @ Hᵀ (engine.step_core). Bit-identical math; a throughput knob
+    # (measured slower than the dense products on v5e — superseded by
+    # fused_step, whose kernels emit the columns from an already-streaming
+    # P pass).
+    share_pht: bool = False
+    # Mega-kernel step (engine.step_fused): the entire per-frame covariance
+    # work in three single-pass Pallas kernels (manage+predict+PHt, LI
+    # tail+PHt, HI tail+feature-init). "auto" = on TPU-class backends at
+    # float32; "on"/"off" force it.
+    fused_step: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -166,6 +178,14 @@ class VisionConfig:
     fast_threshold: float = 0.08   # contrast threshold on [0,1] images
     fast_arc: int = 9              # FAST-9 contiguous arc
     exclusion_radius: float = 10.0  # min distance to tracked features (px)
+    # Runtime matcher: "ncc" = warped-template NCC scan (the crosscorr.m
+    # legacy path, BASELINE.json configs[3]); "descriptor" = FAST corners in
+    # the gated window + binary-descriptor Hamming match against the init
+    # descriptor — the reference's PRIMARY path (matching.m:29-47,
+    # FAST+FREAK).
+    matcher: str = "ncc"
+    corners_per_window: int = 8    # FAST candidates kept per search window
+    max_hamming: float = 64.0      # descriptor acceptance (of N_BITS=256)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -69,6 +69,32 @@ def predict(x: jnp.ndarray, P: jnp.ndarray, cfg: FilterConfig):
 
 
 @f32_matmuls
+def update_gain(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray,
+                z: jnp.ndarray, h: jnp.ndarray, row_mask: jnp.ndarray,
+                r_diag: jnp.ndarray, gain_solver: str = "cholesky",
+                PHt: jnp.ndarray = None):
+    """The gain/state half of the masked EKF update (update.m:8-11):
+    everything except the covariance tail. Returns
+    (x_new (un-renormalized), K (D, M), PHt_masked (D, M)) so a caller can
+    run the covariance tail fused with other work
+    (ops/pallas_kernels.fused_update_tail_*)."""
+    dtype = x.dtype
+    mask = row_mask.astype(dtype)
+    H = H * mask[:, None]
+    nu = (z - h) * mask
+    r_eff = jnp.where(row_mask, r_diag, jnp.ones_like(r_diag))
+    if PHt is None:
+        PHt = P @ H.T                          # (D, M)
+    else:
+        PHt = PHt * mask[None, :]
+    S = H @ PHt + jnp.diag(r_eff)              # (M, M), SPD
+    W = (_spd_inverse_newton(S) if gain_solver == "newton"
+         else _spd_inverse(S))
+    K = PHt @ W                                # (D, M)
+    return x + K @ nu, K, PHt
+
+
+@f32_matmuls
 def update(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray, z: jnp.ndarray,
            h: jnp.ndarray, row_mask: jnp.ndarray, r_diag: jnp.ndarray,
            use_pallas: bool = False, gain_solver: str = "cholesky",
@@ -81,33 +107,14 @@ def update(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray, z: jnp.ndarray,
 
     Returns (x_new, P_new).
     """
-    dtype = x.dtype
-    mask = row_mask.astype(dtype)
-    H = H * mask[:, None]
-    nu = (z - h) * mask
-    # R: active rows keep their variance; inactive rows get 1.0 so S has an
-    # identity block there (zero Kalman-gain columns, see module docstring).
-    r_eff = jnp.where(row_mask, r_diag, jnp.ones_like(r_diag))
-
     # PHt may be precomputed by the caller from H's block structure
-    # (measurement.pht_slots — one P read; the dense product under
-    # f32-accurate precision re-reads P three times). The caller must have
-    # applied the SAME row mask to it. A Pallas single-read matmul kernel
-    # also exists (ops/pallas_kernels.f32_matmul_big) but measured slower
-    # end-to-end (3802 vs 4075 steps/s); kept as infrastructure.
-    if PHt is None:
-        PHt = P @ H.T                          # (D, M)
-    else:
-        PHt = PHt * mask[None, :]
-    S = H @ PHt + jnp.diag(r_eff)              # (M, M), SPD
-    # W = S⁻¹ via Cholesky (the reference uses a plain inv(S), update.m:9).
-    # Materializing the M×M inverse keeps the sequential triangular work at
-    # O(M³) and turns the D-sized work into pure MXU matmuls — much faster
-    # on TPU than triangular-solving M×D right-hand sides.
-    W = (_spd_inverse_newton(S) if gain_solver == "newton"
-         else _spd_inverse(S))
-    K = PHt @ W                                # (D, M)
-    x_new = x + K @ nu
+    # (measurement.pht_slots / the fused kernels' pht outputs). The caller
+    # must have applied the SAME row mask to it. W = S⁻¹ via Cholesky or
+    # Newton-Schulz (the reference uses a plain inv(S), update.m:9);
+    # materializing the M×M inverse keeps the sequential triangular work at
+    # O(M³) and turns the D-sized work into pure MXU matmuls.
+    x_new, K, PHt = update_gain(
+        x, P, H, z, h, row_mask, r_diag, gain_solver, PHt)
     # P ← P − K S Kᵀ = P − K (P Hᵀ)ᵀ, then symmetrize (update.m:13-14) and
     # quaternion renorm (update.m:18-24). The whole covariance tail is
     # HBM-bound; on TPU it runs as ONE fused Pallas pass
@@ -132,7 +139,8 @@ def _spd_inverse(S: jnp.ndarray) -> jnp.ndarray:
     return Linv.T @ Linv
 
 
-def _spd_inverse_newton(S: jnp.ndarray, iters: int = 20) -> jnp.ndarray:
+def _spd_inverse_newton(S: jnp.ndarray, iters: int = 20,
+                        refine_iters: int = 3) -> jnp.ndarray:
     """SPD inverse by Newton-Schulz iteration X ← X(2I − SX) — pure MXU
     matmuls instead of the sequential Cholesky/triangular solves (which
     dominate the TPU update at batch size; tools/profile_linalg.py).
@@ -141,16 +149,32 @@ def _spd_inverse_newton(S: jnp.ndarray, iters: int = 20) -> jnp.ndarray:
     (R = I on the inlier updates), so X₀ = I/λ_up with the Gershgorin upper
     bound λ_up ≥ λ_max gives ‖I − S X₀‖ < 1 and quadratic convergence;
     `iters` = 20 covers condition numbers up to ~1e5 at float32 accuracy.
-    """
+
+    Mixed precision: the iteration is SELF-CORRECTING (each step is a
+    Newton step on the residual I − SX), so the first iters−refine_iters
+    run at the TPU's fast default matmul precision (bf16 passes, ~3x the
+    f32 throughput) and only the last `refine_iters` run at f32-accurate
+    precision — classic iterative refinement: the bf16 phase lands X at
+    ~1e-3 relative error and each f32 step squares the residual
+    (1e-3 → 1e-6 → float32 floor). On f64 inputs precision settings are
+    no-ops and the result is the plain 20-iteration Newton inverse."""
     M = S.shape[-1]
     eye = jnp.eye(M, dtype=S.dtype)
     lam_up = jnp.max(jnp.sum(jnp.abs(S), axis=-1), axis=-1)
     X = eye / lam_up[..., None, None]
+    fast = jax.lax.Precision.DEFAULT
+    accurate = jax.lax.Precision.HIGHEST
 
-    def body(_, X):
-        return X @ (2.0 * eye - S @ X)
+    def body_fast(_, X):
+        SX = jnp.matmul(S, X, precision=fast)
+        return jnp.matmul(X, 2.0 * eye - SX, precision=fast)
 
-    return jax.lax.fori_loop(0, iters, body, X)
+    def body_accurate(_, X):
+        SX = jnp.matmul(S, X, precision=accurate)
+        return jnp.matmul(X, 2.0 * eye - SX, precision=accurate)
+
+    X = jax.lax.fori_loop(0, max(iters - refine_iters, 0), body_fast, X)
+    return jax.lax.fori_loop(0, refine_iters, body_accurate, X)
 
 
 def _renormalize_quaternion(x: jnp.ndarray, P: jnp.ndarray):

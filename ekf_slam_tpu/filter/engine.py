@@ -70,12 +70,12 @@ def _in_map_mask(state: FilterState, num_landmarks: int) -> jnp.ndarray:
             .add(jnp.where(lm >= 0, 1, 0)) > 0)
 
 
-def initialize_features(state: FilterState, obs: FrameObs, n_measured,
-                        cfg: EngineConfig) -> FilterState:
-    """Masked equivalent of map_management.m:27-34 + initialize_features.m:
-    when fewer than min_features were measured, add up to `max_new_per_step`
-    new inverse-depth features from currently visible, not-yet-mapped
-    landmarks."""
+def _init_candidates(state: FilterState, obs: FrameObs, n_measured,
+                     cfg: EngineConfig):
+    """Candidate selection of map_management.m:27-34 + initialize_features.m:
+    when fewer than min_features were measured, pick up to
+    `max_new_per_step` currently visible, not-yet-mapped landmarks.
+    Returns (uvd (K, 2), take (K,) bool, lm_ids (K,) int32)."""
     m = cfg.map
     L = obs.pixels.shape[0]
     need = n_measured < m.min_features_in_image
@@ -89,8 +89,15 @@ def initialize_features(state: FilterState, obs: FrameObs, n_measured,
     take = (candidate[picks]
             & (k < deficit)
             & need)
-    return mapman.add_features_batch(
-        state, obs.pixels[picks], take, picks.astype(jnp.int32), cfg)[0]
+    return obs.pixels[picks], take, picks.astype(jnp.int32)
+
+
+def initialize_features(state: FilterState, obs: FrameObs, n_measured,
+                        cfg: EngineConfig) -> FilterState:
+    """Masked equivalent of map_management.m:27-34 + initialize_features.m:
+    add the _init_candidates picks as new inverse-depth features."""
+    uvd, take, lm_ids = _init_candidates(state, obs, n_measured, cfg)
+    return mapman.add_features_batch(state, uvd, take, lm_ids, cfg)[0]
 
 
 def step_core(state: FilterState, z: jnp.ndarray, z_valid: jnp.ndarray,
@@ -99,14 +106,25 @@ def step_core(state: FilterState, z: jnp.ndarray, z_valid: jnp.ndarray,
     given per-slot candidate measurements (z, z_valid) produced either by
     ground-truth association (sim path, `step`) or by the image front-end
     (vision/frontend.py). Returns (state, visible, ic, StepInfo)."""
-    f = cfg.filter
-    cap = state.capacity
-
     # -- 1. map management (delete + one reparametrization, fused) -----------
     state = mapman.manage(state, cfg)
 
     # -- 2. EKF prediction ----------------------------------------------------
-    x_prior, P_prior = ekf.predict(state.x, state.P, f)
+    x_prior, P_prior = ekf.predict(state.x, state.P, cfg.filter)
+    return step_core_from_prior(
+        state, x_prior, P_prior, z, z_valid, key, cfg)
+
+
+def step_core_from_prior(state: FilterState, x_prior: jnp.ndarray,
+                         P_prior: jnp.ndarray, z: jnp.ndarray,
+                         z_valid: jnp.ndarray, key: jax.Array,
+                         cfg: EngineConfig):
+    """Stages 3-7 given an already-managed state and its prediction — the
+    image front-end computes the prior ONCE for both appearance matching
+    and the filter (the reference's search_IC_matches also reuses the
+    single ekf_prediction result, mono_slam.m:56-62)."""
+    f = cfg.filter
+    cap = state.capacity
 
     # -- 3. measurement prediction + IC gating (search_IC_matches/matching) --
     h, visible, H_xv, H_y = _linearize(x_prior, P_prior, state, cfg)[:4]
@@ -114,15 +132,18 @@ def step_core(state: FilterState, z: jnp.ndarray, z_valid: jnp.ndarray,
     ic = association.individually_compatible(z, z_valid, h, visible, S, cfg)
 
     # -- 4. 1-point RANSAC → LI inliers ---------------------------------------
-    # NOTE: sharing one full-CAP pht_slots between RANSAC and the updates
-    # measured SLOWER end-to-end (3649 vs 4075 steps/s): it computes 2·CAP
-    # gain columns + a transposed gather, vs the compact update's dense
-    # product over only 2M gathered rows. The optional pht plumbing remains
-    # for configurations where M approaches CAP.
+    # share_pht: RANSAC needs the per-slot gain columns P Hᵀ anyway (one
+    # P-read einsum); with the flag on, the SAME (D, CAP, 2) array also
+    # feeds the LI update via a transpose-free slot gather, replacing the
+    # update's dense P @ Hᵀ (which under f32-accurate precision re-reads P
+    # per pass). Round-1's (CAP, D, 2) layout measured slower because every
+    # consumer paid a transposed copy; this layout does not.
     vm = visible.astype(H_xv.dtype)[:, None, None]
+    pht_all = measurement.pht_slots(P_prior, H_xv * vm, H_y * vm) \
+        if f.share_pht else None
     li, support = ransac.run(
         x_prior, P_prior, z, h, H_xv * vm, H_y * vm, S, ic,
-        state.cartesian, key, cfg)
+        state.cartesian, key, cfg, pht=pht_all)
 
     # -- 5. LI update from the prior (ekf_update_li_inliers.m; R = I there).
     # With use_iterated_update the LI step relinearizes (Gauss-Newton IEKF,
@@ -132,7 +153,7 @@ def step_core(state: FilterState, z: jnp.ndarray, z_valid: jnp.ndarray,
             x_prior, P_prior, z, li, state, cfg)
     else:
         x_post, P_post = _masked_update(
-            x_prior, P_prior, H_xv, H_y, z, h, li, cfg)
+            x_prior, P_prior, H_xv, H_y, z, h, li, cfg, pht_all=pht_all)
 
     # -- 6. HI rescue from the posterior (rescue_hi_inliers.m) ----------------
     h2, vis2, H_xv2, H_y2 = _linearize(x_post, P_post, state, cfg)[:4]
@@ -140,8 +161,11 @@ def step_core(state: FilterState, z: jnp.ndarray, z_valid: jnp.ndarray,
     hi = association.rescue_high_innovation(z, h2, S_noR, ic & vis2, li, cfg)
 
     # -- 7. HI update from the posterior (ekf_update_hi_inliers.m; R = I) -----
+    vm2 = vis2.astype(H_xv2.dtype)[:, None, None]
+    pht_all2 = measurement.pht_slots(P_post, H_xv2 * vm2, H_y2 * vm2) \
+        if f.share_pht else None
     x_post, P_post = _masked_update(
-        x_post, P_post, H_xv2, H_y2, z, h2, hi, cfg)
+        x_post, P_post, H_xv2, H_y2, z, h2, hi, cfg, pht_all=pht_all2)
 
     if cfg.debug_nan_checks:
         from ekf_slam_tpu.utils.metrics import check_finite
@@ -165,11 +189,141 @@ def step(state: FilterState, obs: FrameObs, key: jax.Array,
          cfg: EngineConfig):
     """One full SLAM frame on the sim path (ground-truth association).
     Returns (new_state, StepInfo)."""
+    if _use_fused(cfg):
+        return step_fused(state, obs, key, cfg)
     z, z_valid = gather_measurements(state, obs)
     state, visible, ic, info = step_core(state, z, z_valid, key, cfg)
     # -- 8. feature initialization from the current frame ----------------------
     state = initialize_features(state, obs, jnp.sum(ic), cfg)
     return state, info
+
+
+def _use_fused(cfg: EngineConfig) -> bool:
+    """Fused mega-kernel step: three single-pass Pallas kernels instead of
+    ~15 full-P memory passes (ops/pallas_kernels round-2 kernels)."""
+    mode = cfg.filter.fused_step
+    if mode == "off":
+        return False
+    fits = (6 * cfg.map.max_new_per_step <= 128
+            and 0 < cfg.map.max_update_obs < cfg.map.capacity
+            and not cfg.filter.use_iterated_update)
+    if mode == "on":
+        if not fits:
+            raise ValueError("fused_step=on requires 6*max_new_per_step "
+                             "<= 128, 0 < max_update_obs < capacity and "
+                             "no iterated update")
+        return True
+    from ekf_slam_tpu.ops.pallas_kernels import pallas_supported
+    return pallas_supported() and cfg.dtype == "float32" and fits
+
+
+@ekf.f32_matmuls
+def step_fused(state: FilterState, obs: FrameObs, key: jax.Array,
+               cfg: EngineConfig):
+    """The full SLAM frame with all covariance work routed through the
+    three mega-kernels (ops/pallas_kernels):
+
+      K1 manage + predict + prior P·Hᵀ  — one pass over P
+      K2 LI tail + posterior P·Hᵀ       — one pass
+      K3 HI tail + feature-init growth  — one pass
+
+    Same math as step() stage by stage (map_management → predict →
+    search_IC → RANSAC → LI → rescue → HI → init, mono_slam.m:50-82);
+    equivalence is tested in interpret mode against the XLA path
+    (tests/test_fused_step.py). Returns (new_state, StepInfo)."""
+    from ekf_slam_tpu.ops import pallas_kernels as _pk
+    from ekf_slam_tpu.filter import motion
+    from ekf_slam_tpu.ops import quaternion as quat
+
+    f = cfg.filter
+    cap = state.capacity
+    D = state.x.shape[0]
+    M = cfg.map.max_update_obs
+    z, z_valid = gather_measurements(state, obs)
+
+    # -- 1+2. map management + EKF prediction (P transforms in K1) ----------
+    mp = mapman.manage_params(state, cfg)
+    state_m = mp.state
+    xv = state_m.x[:13]                      # camera block: manage-invariant
+    F = motion.dfv_by_dxv(xv, f)
+    Q = motion.process_noise(xv, f)
+    x_prior = jnp.concatenate([motion.fv(xv, f), state_m.x[13:]])
+
+    # -- 3. linearization at the prior (slot-level math, no P) ---------------
+    h, visible, H_xv, H_y = _linearize(x_prior, None, state_m, cfg)[:4]
+    Ht = measurement.dense_Ht(H_xv, H_y, visible)            # (D, 2CAP)
+    P_prior, pht_flat = _pk.fused_manage_predict_pht(
+        state.P, mp.keep_f, mp.E6, mp.U6, mp.C66, F, Q, Ht)
+    pht3 = pht_flat.reshape(D, cap, 2)
+    S = measurement.innovation_covariances_from_pht(pht3, H_xv, H_y,
+                                                    f.sigma_z)
+    ic = association.individually_compatible(z, z_valid, h, visible, S, cfg)
+
+    # -- 4. 1-point RANSAC (gain columns re-used from K1) --------------------
+    vm = visible.astype(H_xv.dtype)[:, None, None]
+    li, support = ransac.run(
+        x_prior, P_prior, z, h, H_xv * vm, H_y * vm, S, ic,
+        state_m.cartesian, key, cfg, pht=pht3)
+
+    # -- 5. LI update: gain in XLA, covariance tail + posterior P·Hᵀ in K2 --
+    sel = jnp.argsort(~li)[:M]
+    sel_mask = li[sel]
+    Hc = measurement.compact_dense_H(H_xv[sel], H_y[sel], sel, sel_mask, cap)
+    PHt_sel = pht3[:, sel, :].reshape(D, 2 * M)
+    x_li, K_li, PHt_li = ekf.update_gain(
+        x_prior, P_prior, Hc, z[sel].reshape(-1), h[sel].reshape(-1),
+        jnp.repeat(sel_mask, 2), jnp.ones(2 * M, x_prior.dtype),
+        f.gain_solver, PHt_sel)
+    Jq1 = quat.norm_jac(x_li[3:7])
+    x_li = x_li.at[3:7].set(x_li[3:7] / jnp.linalg.norm(x_li[3:7]))
+
+    # -- 6. HI rescue from the posterior -------------------------------------
+    h2, vis2, H_xv2, H_y2 = _linearize(x_li, None, state_m, cfg)[:4]
+    Ht2 = measurement.dense_Ht(H_xv2, H_y2, vis2)
+    P_li, pht2_flat = _pk.fused_update_tail_pht(
+        P_prior, K_li, PHt_li, Jq1, Ht2)
+    pht23 = pht2_flat.reshape(D, cap, 2)
+    S_noR = measurement.innovation_covariances_from_pht(
+        pht23, H_xv2, H_y2, 0.0)
+    hi = association.rescue_high_innovation(z, h2, S_noR, ic & vis2, li, cfg)
+
+    # -- 7. HI update: gain in XLA, tail + feature-init growth in K3 ---------
+    sel2 = jnp.argsort(~hi)[:M]
+    sel2_mask = hi[sel2]
+    Hc2 = measurement.compact_dense_H(
+        H_xv2[sel2], H_y2[sel2], sel2, sel2_mask, cap)
+    PHt2_sel = pht23[:, sel2, :].reshape(D, 2 * M)
+    x_hi, K_hi, PHt_hi = ekf.update_gain(
+        x_li, P_li, Hc2, z[sel2].reshape(-1), h2[sel2].reshape(-1),
+        jnp.repeat(sel2_mask, 2), jnp.ones(2 * M, x_li.dtype),
+        f.gain_solver, PHt2_sel)
+    Jq2 = quat.norm_jac(x_hi[3:7])
+    x_fin = x_hi.at[3:7].set(x_hi[3:7] / jnp.linalg.norm(x_hi[3:7]))
+
+    # -- 8. bookkeeping + feature init (P growth fused into K3) --------------
+    state2 = state_m.replace(x=x_fin)
+    state2 = mapman.update_counters(state2, visible, ic)
+    # Post-HI camera stripe (13, D) — what K3 will compute for rows 0:13 —
+    # reconstructed cheaply: sym-downdate on the stripe + renorm transform.
+    stripe = P_li[0:13, :] - 0.5 * (K_hi[0:13] @ PHt_hi.T
+                                    + PHt_hi[0:13] @ K_hi.T)
+    stripe = stripe.at[3:7, :].set(Jq2 @ stripe[3:7, :])
+    stripe = stripe.at[:, 3:7].set(stripe[:, 3:7] @ Jq2.T)
+    uvd, take, lm_ids = _init_candidates(state2, obs, jnp.sum(ic), cfg)
+    ap, _assigned = mapman.add_params(stripe, state2, uvd, take, lm_ids, cfg)
+    P_fin = _pk.fused_update_tail_add(
+        P_li, K_hi, PHt_hi, Jq2, ap.keep_f, ap.E, ap.U, ap.C)
+    out_state = ap.state.replace(P=P_fin)
+
+    if cfg.debug_nan_checks:
+        from ekf_slam_tpu.utils.metrics import check_finite
+        check_finite(out_state.x, "x_post", debug=True)
+        check_finite(out_state.P, "P_post", debug=True)
+
+    info = StepInfo(
+        n_visible=jnp.sum(visible), n_ic=jnp.sum(ic),
+        n_li=jnp.sum(li), n_hi=jnp.sum(hi), ransac_support=support)
+    return out_state, info
 
 
 def _masked_update(x, P, H_xv, H_y, z, h, slot_mask, cfg: EngineConfig,
@@ -179,7 +333,7 @@ def _masked_update(x, P, H_xv, H_y, z, h, slot_mask, cfg: EngineConfig,
     Jacobian — the solve shrinks from 2*CAP to 2M rows; identical result
     whenever the inlier count fits in M (tests/test_compact_update.py).
 
-    pht_all: optional (CAP, D, 2) per-slot gain columns from
+    pht_all: optional (D, CAP, 2) per-slot gain columns from
     measurement.pht_slots (same H blocks); saves the dense P@Hᵀ."""
     cap = slot_mask.shape[0]
     M = cfg.map.max_update_obs
@@ -188,7 +342,7 @@ def _masked_update(x, P, H_xv, H_y, z, h, slot_mask, cfg: EngineConfig,
     if M <= 0 or M >= cap:
         H = measurement.dense_H(H_xv, H_y, slot_mask)
         PHt = None if pht_all is None else \
-            pht_all.transpose(1, 0, 2).reshape(P.shape[0], 2 * cap)
+            pht_all.reshape(P.shape[0], 2 * cap)
         return ekf.update(
             x, P, H, z.reshape(-1), h.reshape(-1), jnp.repeat(slot_mask, 2),
             jnp.ones(2 * cap, x.dtype), use_pallas=use_pallas,
@@ -197,7 +351,7 @@ def _masked_update(x, P, H_xv, H_y, z, h, slot_mask, cfg: EngineConfig,
     sel_mask = slot_mask[sel]
     H = measurement.compact_dense_H(H_xv[sel], H_y[sel], sel, sel_mask, cap)
     PHt = None if pht_all is None else \
-        pht_all[sel].transpose(1, 0, 2).reshape(P.shape[0], 2 * M)
+        pht_all[:, sel, :].reshape(P.shape[0], 2 * M)
     return ekf.update(
         x, P, H, z[sel].reshape(-1), h[sel].reshape(-1),
         jnp.repeat(sel_mask, 2), jnp.ones(2 * M, x.dtype),

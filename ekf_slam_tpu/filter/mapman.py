@@ -25,6 +25,8 @@ Where the reference grows and shrinks x and P (add_features_inverse_depth.m:
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
@@ -33,6 +35,34 @@ from ekf_slam_tpu.filter import ekf
 from ekf_slam_tpu.filter.state import FilterState
 from ekf_slam_tpu.ops import camera as cam_ops
 from ekf_slam_tpu.ops import quaternion as quat
+
+
+class AddParams(NamedTuple):
+    """Batched feature-add P growth in closed low-rank form:
+    P' = M∘P + EᵀU + UᵀE + EᵀCE (add_a_feature_covariance_inverse_depth.m:
+    61-64 for all K candidates at once). Computable from the 13 camera rows
+    of P alone, so the fused HI-tail kernel can apply it in the same pass
+    as the update downdate (ops/pallas_kernels.fused_update_tail_add)."""
+    keep_f: jnp.ndarray    # (D,) 0/1 — zeroes the newly-assigned dims
+    E: jnp.ndarray         # (6K, D) one-hot rows of the new dims
+    U: jnp.ndarray         # (6K, D) new rows (new columns zeroed)
+    C: jnp.ndarray         # (6K, 6K) new-block covariance (incl. noise)
+    state: FilterState     # x/masks/counters updated; P untouched
+
+
+class ManageParams(NamedTuple):
+    """The P-transform of map management (delete + one conversion) in
+    closed low-rank form: P' = M∘P + E6ᵀU6 + U6ᵀE6 + E6ᵀC66E6, with
+    M∘ the keep-mask outer product. Consumed either by the XLA apply
+    (`manage`) or fused into the predict mega-kernel
+    (ops/pallas_kernels.fused_manage_predict_pht) so the whole of
+    map_management.m + predict_state_and_covariance.m costs ONE P
+    read + write."""
+    keep_f: jnp.ndarray    # (D,) 0/1 — kept dims (delete + converted slot)
+    E6: jnp.ndarray        # (6, D) one-hot rows of the converted slot
+    U6: jnp.ndarray        # (6, D) replacement rows (masked)
+    C66: jnp.ndarray       # (6, 6) replacement diagonal block
+    state: FilterState     # x/masks/counters managed; P untouched
 
 
 def _slot_slice(slot: jnp.ndarray) -> jnp.ndarray:
@@ -135,6 +165,29 @@ def add_features_batch(state: FilterState, uvd: jnp.ndarray,
 
     Returns (state, assigned (K,) int32 slot per candidate, -1 if skipped).
     """
+    p, assigned = add_params(state.P[:CAM_DIM, :], state, uvd, cand_mask,
+                             lm_ids, cfg)
+    # --- scatter-free write-back --------------------------------------------
+    # Dynamic scatters into P (especially along columns) serialize on TPU
+    # (measured: 116 ms of a 241 ms step at B=512), and (D, D)-sized select
+    # operands cost full-P passes each. Additive LOW-RANK form instead:
+    #   P' = P·maskᵢmaskⱼ + Eᵀ R̃ + (Eᵀ R̃)ᵀ + Eᵀ C E — MXU matmuls whose
+    # outputs XLA fuses into one read + one write of P (or zero extra
+    # passes when fused into the HI-tail kernel).
+    contrib = p.E.T @ p.U
+    P = (state.P * (p.keep_f[:, None] * p.keep_f[None, :])
+         + contrib + contrib.T + p.E.T @ p.C @ p.E)
+    return p.state.replace(P=P), assigned
+
+
+def add_params(P_cam_rows: jnp.ndarray, state: FilterState,
+               uvd: jnp.ndarray, cand_mask: jnp.ndarray,
+               lm_ids: jnp.ndarray, cfg: EngineConfig):
+    """Closed-form parameters of the batched feature add (AddParams):
+    everything derivable from the 13 camera rows of P (P_cam_rows (13, D))
+    — new rows are dy_dxv·P[0:13,:], the cross/diag blocks come from
+    P[0:13, 0:13] (add_a_feature_covariance_inverse_depth.m:35-64).
+    Returns (AddParams, assigned)."""
     m = cfg.map
     K = uvd.shape[0]
     dtype = state.x.dtype
@@ -158,22 +211,13 @@ def add_features_batch(state: FilterState, uvd: jnp.ndarray,
     Padd = jnp.diag(jnp.array(
         [cfg.filter.sigma_z**2, cfg.filter.sigma_z**2, m.std_rho**2], dtype))
 
-    P = state.P
-    D = P.shape[0]
-    rows = dy_dxv @ P[:CAM_DIM, :]                          # (K, 6, D)
-    P11 = P[:CAM_DIM, :CAM_DIM]
+    D = state.x.shape[0]
+    rows = dy_dxv @ P_cam_rows                              # (K, 6, D)
+    P11 = P_cam_rows[:, :CAM_DIM]
     cross = jnp.einsum("kij,jl,mnl->kmin", dy_dxv, P11, dy_dxv)  # (K,K,6,6)
     noise = jnp.einsum("kij,jl,knl->kin", dy_dhd, Padd, dy_dhd)  # (K,6,6)
     cross = cross + noise[:, None] * jnp.eye(K, dtype=dtype)[:, :, None, None]
 
-    # --- scatter-free write-back --------------------------------------------
-    # Dynamic scatters into P (especially along columns) serialize on TPU
-    # (measured: 116 ms of a 241 ms step at B=512), and (D, D)-sized select
-    # operands cost full-P passes each. Additive LOW-RANK form instead:
-    #   P' = P·maskᵢmaskⱼ + Eᵀ R̃ + (Eᵀ R̃)ᵀ + Eᵀ C E,
-    # with E (6K, D) the one-hot row selector of the new dims, R̃ the new
-    # rows with new columns zeroed, C the (6K, 6K) new-block covariance —
-    # MXU matmuls whose outputs XLA fuses into one read + one write of P.
     cap = state.capacity
     onehot = jax.nn.one_hot(jnp.where(ok, slot, cap), cap,
                             dtype=dtype)                     # (K, CAP)
@@ -187,9 +231,6 @@ def add_features_batch(state: FilterState, uvd: jnp.ndarray,
     E = jax.nn.one_hot(row_flat, D, dtype=dtype)             # (6K, D)
     rows_flat = rows.reshape(6 * K, D) * keep_f[None, :]     # R̃: new cols 0
     cross_flat = cross.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
-    contrib = E.T @ rows_flat                                # (D, D)
-    P = (P * (keep_f[:, None] * keep_f[None, :])
-         + contrib + contrib.T + E.T @ cross_flat @ E)
 
     y_flat = y.reshape(-1)                                   # (6K,)
     x = state.x * keep_f + E.T @ y_flat
@@ -197,14 +238,15 @@ def add_features_batch(state: FilterState, uvd: jnp.ndarray,
     lm_new = jnp.einsum("kc,k->c", onehot,
                         lm_ids.astype(dtype)).astype(jnp.int32)
     z32 = jnp.zeros((cap,), jnp.int32)
-    return state.replace(
-        x=x, P=P,
+    new_state = state.replace(
+        x=x,
         active=state.active | new_slot,
         cartesian=state.cartesian & ~new_slot,
         times_predicted=jnp.where(new_slot, z32, state.times_predicted),
         times_measured=jnp.where(new_slot, z32, state.times_measured),
-        landmark_id=jnp.where(new_slot, lm_new, state.landmark_id),
-    ), assigned
+        landmark_id=jnp.where(new_slot, lm_new, state.landmark_id))
+    return AddParams(keep_f=keep_f, E=E, U=rows_flat, C=cross_flat,
+                     state=new_state), assigned
 
 
 def add_features_assigned(state: FilterState, uvd: jnp.ndarray,
@@ -255,13 +297,12 @@ def delete_features(state: FilterState, cfg: EngineConfig) -> FilterState:
         landmark_id=jnp.where(drop, -1, state.landmark_id))
 
 
-def manage(state: FilterState, cfg: EngineConfig) -> FilterState:
-    """delete_features + convert_to_cartesian fused into ONE full-P pass:
-    the delete zeroing becomes a dim-scale folded into the conversion's
-    select chain (the two stages are elementwise/select over P, so XLA
-    fuses the composition — separately they each pay a full-P write).
-    Equivalence: tests/test_mapman_batch.py::test_manage_equals_sequential.
-    """
+def manage_params(state: FilterState, cfg: EngineConfig) -> ManageParams:
+    """Closed-form parameters of the whole map-management P transform
+    (delete policy + at-most-one inverse-depth→cartesian conversion):
+    P' = M∘P + E6ᵀU6 + U6ᵀE6 + E6ᵀC66E6. The returned state carries the
+    managed x/masks/counters; P is applied separately (`manage` for the
+    XLA path, or fused into the predict kernel)."""
     m = cfg.map
     weak = (state.times_predicted >= m.delete_min_predictions) & (
         state.times_measured.astype(state.x.dtype)
@@ -277,7 +318,26 @@ def manage(state: FilterState, cfg: EngineConfig) -> FilterState:
         times_predicted=jnp.where(drop, z32, state.times_predicted),
         times_measured=jnp.where(drop, z32, state.times_measured),
         landmark_id=jnp.where(drop, -1, state.landmark_id))
-    return convert_to_cartesian(st, cfg, dim_keep=dim_keep)
+    return _convert_params(st, cfg, dim_keep)
+
+
+def manage(state: FilterState, cfg: EngineConfig) -> FilterState:
+    """delete_features + convert_to_cartesian fused into ONE full-P pass:
+    the delete zeroing becomes a dim-scale folded into the conversion's
+    select chain (the two stages are elementwise/select over P, so XLA
+    fuses the composition — separately they each pay a full-P write).
+    Equivalence: tests/test_mapman_batch.py::test_manage_equals_sequential.
+    """
+    p = manage_params(state, cfg)
+    return p.state.replace(P=apply_manage_P(state.P, p))
+
+
+@ekf.f32_matmuls
+def apply_manage_P(P: jnp.ndarray, p: ManageParams) -> jnp.ndarray:
+    """XLA apply of the ManageParams low-rank form: one P read + write."""
+    contrib = p.E6.T @ p.U6
+    return (P * (p.keep_f[:, None] * p.keep_f[None, :])
+            + contrib + contrib.T + p.E6.T @ p.C66 @ p.E6)
 
 
 @ekf.f32_matmuls
@@ -286,6 +346,12 @@ def convert_to_cartesian(state: FilterState, cfg: EngineConfig,
     """Inverse-depth -> cartesian reparametrization of at most one feature
     per step (inversedepth_2_cartesian.m:1-52). `dim_keep` (D,) bool, if
     given, zero-masks deleted dims of x/P on the fly (fused delete)."""
+    p = _convert_params(state, cfg, dim_keep)
+    return p.state.replace(P=apply_manage_P(state.P, p))
+
+
+def _convert_params(state: FilterState, cfg: EngineConfig,
+                    dim_keep=None) -> ManageParams:
     m = cfg.map
     dtype = state.x.dtype
     cap = state.capacity
@@ -335,11 +401,13 @@ def convert_to_cartesian(state: FilterState, cfg: EngineConfig,
         jnp.einsum("c,ci->i", onehot,
                    -mi / safe_rho[:, None] ** 2)[:, None]], axis=1)
 
-    # gather the slot's 6 P-rows with a one-hot contraction (no dyn slice)
-    Prows = state.P[CAM_DIM:].reshape(cap, 6, D)
+    # gather the slot's 6 P-rows with a dynamic slice: reads exactly 6 rows
+    # (a one-hot contraction here would read ALL landmark rows of P).
+    off = CAM_DIM + 6 * slot
     # ks column-scales the gathered rows (fused delete); the chosen slot's
     # own row scale is 1 because `eligible` requires an active (kept) slot.
-    slot_rows = jnp.einsum("c,cid->id", onehot, Prows) * ks[None, :]  # (6,D)
+    slot_rows = (jax.lax.dynamic_slice(state.P, (off, 0), (6, D))
+                 * do.astype(dtype) * ks[None, :])           # (6, D)
     new_rows3 = J @ slot_rows                               # (3, D)
     new_rows = jnp.concatenate(
         [new_rows3, jnp.zeros((3, D), dtype)], axis=0)      # (6, D)
@@ -349,25 +417,25 @@ def convert_to_cartesian(state: FilterState, cfg: EngineConfig,
     E6 = jax.nn.one_hot(row_flat, D, dtype=dtype)           # (6, D)
 
     # diagonal block: J (slot66) Jᵀ in the top-left 3x3
-    slot66 = slot_rows @ E6.T                               # (6, 6)
+    slot66 = jax.lax.dynamic_slice(slot_rows, (0, off), (6, 6))
     diag33 = J @ slot66 @ J.T
     diag66 = jnp.zeros((6, 6), dtype).at[0:3, 0:3].set(diag33)
 
-    # additive low-rank write-back (see add_features_batch): one P read +
-    # one P write, MXU outer products instead of (D, D) select operands
+    # additive low-rank form (see add_features_batch): the P apply is one
+    # read + one write (apply_manage_P), or zero extra passes when fused
+    # into the predict kernel.
     keep_f = (~dim_mask).astype(dtype) * ks
     rows_masked = new_rows * (~dim_mask).astype(dtype)[None, :]
-    contrib = E6.T @ rows_masked                            # (D, D)
-    P = (state.P * (keep_f[:, None] * keep_f[None, :])
-         + contrib + contrib.T + E6.T @ diag66 @ E6)
 
     # x: slot <- [p, 0, 0, 0]
     new_slot_x = jnp.concatenate([
         jnp.einsum("c,ci->i", onehot, p), jnp.zeros(3, dtype)])
     x_new = x_in * (~dim_mask).astype(dtype) + E6.T @ new_slot_x
 
-    return state.replace(
-        x=x_new, P=P, cartesian=state.cartesian | (onehot > 0))
+    return ManageParams(
+        keep_f=keep_f, E6=E6, U6=rows_masked, C66=diag66,
+        state=state.replace(
+            x=x_new, cartesian=state.cartesian | (onehot > 0)))
 
 
 def update_counters(state: FilterState, predicted: jnp.ndarray,

@@ -177,18 +177,56 @@ def dense_H(H_xv: jnp.ndarray, H_y: jnp.ndarray,
 
 
 @_f32_matmuls
+def innovation_covariances_from_pht(pht3: jnp.ndarray, H_xv: jnp.ndarray,
+                                    H_y: jnp.ndarray, sigma_z: float):
+    """Per-slot S_i = H_i (P H_iᵀ) + R from precomputed gain columns
+    pht3 (D, CAP, 2) — e.g. the fused kernels' P·Hᵀ output — instead of
+    touching P again (search_IC_matches.m:8). Exploits H_i's two-block
+    sparsity: only the 13 camera rows and slot i's own 6 rows of column i
+    contribute. Returns (CAP, 2, 2). Slots whose pht columns were
+    visibility-masked to zero return R alone."""
+    cap = H_xv.shape[0]
+    pht_cam = pht3[:CAM_DIM]                               # (13, CAP, 2)
+    t1 = jnp.einsum("cik,kcj->cij", H_xv, pht_cam)
+    pht_m = pht3[CAM_DIM:].reshape(cap, 6, cap, 2)
+    idx = jnp.arange(cap)
+    diag = pht_m[idx, :, idx, :]                           # (CAP, 6, 2)
+    t2 = jnp.einsum("cik,ckj->cij", H_y, diag)
+    R = (sigma_z ** 2) * jnp.eye(2, dtype=pht3.dtype)
+    return t1 + t2 + R
+
+
+def dense_Ht(H_xv: jnp.ndarray, H_y: jnp.ndarray,
+             row_mask: jnp.ndarray) -> jnp.ndarray:
+    """Transposed dense Jacobian (D, 2·CAP) = dense_H(...).T, built directly
+    in the transposed layout the fused mega-kernels consume (their P·Hᵀ
+    accumulation streams Ht row-blocks), avoiding a materialized transpose
+    of the (2·CAP, D) form."""
+    cap = H_xv.shape[0]
+    dtype = H_xv.dtype
+    m = row_mask.astype(dtype)[:, None, None]
+    Hxv_t = (H_xv * m).reshape(2 * cap, CAM_DIM).T          # (13, 2CAP)
+    eye = jnp.eye(cap, dtype=dtype)
+    Hy_t = jnp.einsum("nj,nck->jknc", eye,
+                      H_y * m).reshape(6 * cap, 2 * cap)    # block-diag ᵀ
+    return jnp.concatenate([Hxv_t, Hy_t], axis=0)
+
+
+@_f32_matmuls
 def pht_slots(P: jnp.ndarray, H_xv: jnp.ndarray,
               H_y: jnp.ndarray) -> jnp.ndarray:
     """P Hᵢᵀ for every slot, exploiting H's two-block sparsity: one P read
     and two short-contraction einsums instead of the dense (D, 2·CAP)
     product (which under f32-accurate matmul precision re-reads P three
-    times). Returns (CAP, D, 2). Rows are masked by whatever mask was
-    already applied to H_xv/H_y."""
+    times). Returns (D, CAP, 2) — D-major so a slot gather
+    `out[:, sel, :].reshape(D, 2M)` needs NO transpose (the round-1
+    (CAP, D, 2) layout paid a full transposed copy per consumer). Rows are
+    masked by whatever mask was already applied to H_xv/H_y."""
     cap = H_xv.shape[0]
     P1 = P[:, :CAM_DIM]                                    # (D, 13)
     Py = P[:, CAM_DIM:].reshape(P.shape[0], cap, 6)        # (D, CAP, 6)
-    return (jnp.einsum("dk,cik->cdi", P1, H_xv)
-            + jnp.einsum("dcj,cij->cdi", Py, H_y))
+    return (jnp.einsum("dk,cik->dci", P1, H_xv)
+            + jnp.einsum("dcj,cij->dci", Py, H_y))
 
 
 def compact_dense_H(H_xv: jnp.ndarray, H_y: jnp.ndarray,

@@ -78,7 +78,7 @@ def run(x: jnp.ndarray, P: jnp.ndarray, z: jnp.ndarray, h: jnp.ndarray,
     x, P: prior state/covariance. z/h/S: per-slot measurements, predictions
     and innovation covariances from the prior. H_xv (CAP,2,13) / H_y
     (CAP,2,6): per-slot Jacobian blocks. ic_mask: IC slots. pht: optional
-    precomputed per-slot gain columns (CAP, D, 2) — the engine shares one
+    precomputed per-slot gain columns (D, CAP, 2) — the engine shares one
     measurement.pht_slots result between RANSAC and the LI update.
     """
     cap = ic_mask.shape[0]
@@ -94,7 +94,7 @@ def run(x: jnp.ndarray, P: jnp.ndarray, z: jnp.ndarray, h: jnp.ndarray,
         nu = z[slot] - h[slot]                            # (2,)
         # K (z−h) = PHtᵢ · Sᵢ⁻¹ ν — state-only 1-match update
         w = association._solve_2x2(S[slot], nu)           # S⁻¹ ν (2,)
-        x_hyp = x + PHt_slots[slot] @ w
+        x_hyp = x + PHt_slots[:, slot, :] @ w
         h_all = support_projection(x_hyp, cartesian, cfg)
         res2 = jnp.sum((z - h_all) ** 2, axis=-1)
         inlier = ic_mask & (res2 < thr * thr)

@@ -33,9 +33,15 @@ class LoopStepOut(NamedTuple):
 
 
 def make_frame_fn(model, variables, lcfg: lc.LoopConfig,
-                  loop_sigma: float = 0.05):
+                  loop_sigma: float = 0.05, relative_pose: bool = True):
     """Returns a jittable fn(db, x, P, image, key) ->
-    (db, x, P, LoopStepOut): embed -> push -> query -> temporal -> fuse."""
+    (db, x, P, LoopStepOut): embed -> push -> query -> temporal -> fuse.
+
+    relative_pose=True fuses the full 6-DoF pose constraint (position +
+    orientation of the matched frame, close_kitti_loops.py:141-143 emits
+    both poses for exactly this) with noise scaled by the verification
+    inlier count; False keeps the legacy 3-DoF position snap with the
+    fixed `loop_sigma`."""
 
     def frame(db: lc.LoopDatabase, x, P, image, key):
         outs = model.apply(variables, image[None], train=False,
@@ -49,10 +55,15 @@ def make_frame_fn(model, variables, lcfg: lc.LoopConfig,
         res = res._replace(is_hypothesis=res.is_hypothesis & warm)
         db2, declared, match_slot, match_frame = lc.step_temporal(
             db, res, lcfg)
-        z_pos = db2.pose[
-            jnp.clip(match_slot, 0, db2.pose.shape[0] - 1)][0:3]
-        x2, P2 = loop_fusion.apply_loop_constraint(
-            x, P, z_pos.astype(x.dtype), loop_sigma, declared)
+        pose_j = db2.pose[
+            jnp.clip(match_slot, 0, db2.pose.shape[0] - 1)].astype(x.dtype)
+        if relative_pose:
+            sp, sr = loop_fusion.loop_noise_sigmas(res.best_inliers)
+            x2, P2 = loop_fusion.apply_loop_constraint_pose(
+                x, P, pose_j, sp, sr, declared)
+        else:
+            x2, P2 = loop_fusion.apply_loop_constraint(
+                x, P, pose_j[0:3], loop_sigma, declared)
         db3 = lc.push(db2, descr, kps, pose)
         out = LoopStepOut(declared=declared, match_id=match_frame,
                           inliers=res.best_inliers,

@@ -183,6 +183,357 @@ def f32_matmul_big(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(f32_matmul_big)(A, B)
 
 
+# ---------------------------------------------------------------------------
+# Round-2 mega-kernels: one P read + one P write per pipeline phase.
+#
+# The round-1 step paid ~15 full-P memory passes (manage, predict, the two
+# updates' P@Hᵀ products and tails, feature-init) at ~5 ms each. These
+# kernels collapse each phase to a single streamed pass:
+#   K1 fused_manage_predict_pht — map management (delete mask + one
+#      inverse-depth→cartesian conversion as a rank-6 update), the EKF time
+#      update (block-sparse F on the 13-dim camera stripe + Q), AND the
+#      P·Hᵀ gain columns for the *next* stage, all while P streams through
+#      VMEM once (map_management.m + predict_state_and_covariance.m:26-27 +
+#      search_IC_matches.m:8 in one pass).
+#   K2 fused_update_tail_pht — the LI-update covariance tail (downdate +
+#      symmetrize + quaternion renorm, update.m:13-24) AND the posterior
+#      P·Hᵀ for the HI rescue/update in the same pass.
+#   K3 fused_update_tail_add — the HI-update tail AND the batched
+#      feature-initialization write-back (new rows / cross blocks,
+#      add_a_feature_covariance_inverse_depth.m:61-64) as a rank-6K additive
+#      update in the same pass.
+# ---------------------------------------------------------------------------
+
+
+def _dot(a, b):
+    """Small-operand dot (stripe transforms, rank-6 terms): full-accuracy
+    f32 (HIGHEST); negligible MXU time at these shapes."""
+    return jnp.dot(a, b, preferred_element_type=a.dtype,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def _dot3(a, b):
+    """Heavy-operand dot at the XLA engine's precision: 3-pass bf16
+    emulation of f32 (== jax.default_matmul_precision("float32"), what
+    ekf.f32_matmuls pins everywhere). Mosaic does not lower
+    Precision.HIGH, so the split is done by hand: a·b ≈ a_hi·b_hi +
+    a_hi·b_lo + a_lo·b_hi with f32 accumulation. HIGHEST (6-pass) costs
+    2x the MXU time of this for accuracy the rest of the pipeline does
+    not have. Non-f32 dtypes (the float64 interpret-mode tests) fall back
+    to the exact dot."""
+    if a.dtype != jnp.float32:
+        return _dot(a, b)
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(x, y):
+        return jnp.dot(x, y, preferred_element_type=jnp.float32)
+
+    return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
+
+
+def _stripe16_rows(t, F16, EQ16):
+    """rows 0:16 of t <- F16 @ rows (other rows unchanged)."""
+    stripe = _dot(F16, _dot(EQ16.T, t))                   # (16, TILE)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (TILE, 1), 0)
+    return jnp.where(ridx < 16, _dot(EQ16, stripe), t)
+
+
+def _stripe16_cols(t, F16, EQ16):
+    """cols 0:16 of t <- cols @ F16ᵀ (other cols unchanged)."""
+    stripe = _dot(_dot(t, EQ16), F16.T)                   # (TILE, 16)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
+    return jnp.where(cidx < 16, _dot(stripe, EQ16.T), t)
+
+
+def _eq16(dtype):
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (TILE, 16), 0)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (TILE, 16), 1)
+    return (ridx == cidx).astype(dtype)
+
+
+def _lowrank6(t, E_i, E_j, U_i, U_j, C):
+    """t + E_iᵀU_j + U_iᵀE_j + E_iᵀ C E_j (rank-8-padded symmetric add)."""
+    return (t + _dot(E_i.T, U_j) + _dot(U_i.T, E_j)
+            + _dot(_dot(E_i.T, C), E_j))
+
+
+def _k1_kernel(P_ref, keep_ref, E_ref, U_ref, C_ref, F_ref, Q_ref, Ht_ref,
+               out_ref, pht_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    keep_i = keep_ref[0, pl.ds(i * TILE, TILE)]           # (TILE,)
+    keep_j = keep_ref[0, pl.ds(j * TILE, TILE)]
+    # Delete + pad masking in one where (keep is zero beyond D, so ragged
+    # edge-tile garbage — NaN in interpret mode — never propagates).
+    t = jnp.where((keep_i[:, None] > 0) & (keep_j[None, :] > 0),
+                  P_ref[:], 0.0)
+    # Conversion (rank-6): P += E6ᵀU6 + U6ᵀE6 + E6ᵀC66E6.
+    E_i = E_ref[:, pl.ds(i * TILE, TILE)]                 # (8, TILE)
+    E_j = E_ref[:, pl.ds(j * TILE, TILE)]
+    U_i = U_ref[:, pl.ds(i * TILE, TILE)]
+    U_j = U_ref[:, pl.ds(j * TILE, TILE)]
+    t = _lowrank6(t, E_i, E_j, U_i, U_j, C_ref[0:8, 0:8])
+    out_ref[:] = t
+
+    # Predict: rows/cols 0:13 get F (padded to a 16-stripe, identity on
+    # 13:16 so slot-0 dims pass through), corner adds Q.
+    F16 = F_ref[0:16, 0:16]
+    EQ = _eq16(t.dtype)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = _stripe16_rows(out_ref[:], F16, EQ)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = _stripe16_cols(out_ref[:], F16, EQ)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        Q16 = Q_ref[0:16, 0:16]
+        out_ref[:] += _dot(_dot(EQ, Q16), EQ.T)
+
+    # P·Hᵀ accumulation over j (grid minor axis): PHt[iblock] += tile @ Htj.
+    @pl.when(j == 0)
+    def _():
+        pht_ref[:] = jnp.zeros_like(pht_ref)
+    pht_ref[:] += _dot3(out_ref[:], Ht_ref[pl.ds(j * TILE, TILE), :])
+
+
+def _pad_rows(a, rows, cols=None):
+    """Zero-pad a 2D array to (rows, cols or a.shape[1])."""
+    r, c = a.shape
+    cols = c if cols is None else cols
+    out = jnp.zeros((rows, cols), a.dtype)
+    return jax.lax.dynamic_update_slice(out, a, (0, 0))
+
+
+def _fused_manage_predict_single(P, keep, E6, U6, C66, F13, Q13, Ht):
+    D = P.shape[0]
+    R = Ht.shape[1]
+    nt = pl.cdiv(D, TILE)
+    Dp = nt * TILE
+    Rp = pl.cdiv(R, 128) * 128
+    dt = P.dtype
+    keep_p = _pad_rows(keep[None, :], 1, Dp)
+    E8 = _pad_rows(E6, 8, Dp)
+    U8 = _pad_rows(U6, 8, Dp)
+    C8 = _pad_rows(C66, 8, 128)
+    F16 = jnp.eye(16, dtype=dt).at[0:13, 0:13].set(F13)
+    F16 = _pad_rows(F16, 16, 128)
+    Q16 = _pad_rows(Q13, 16, 128)
+    Htp = jnp.zeros((Dp, Rp), dt)
+    Htp = jax.lax.dynamic_update_slice(Htp, Ht, (0, 0))
+    out, pht = pl.pallas_call(
+        _k1_kernel,
+        out_shape=(jax.ShapeDtypeStruct((D, D), dt),
+                   jax.ShapeDtypeStruct((D, Rp), dt)),
+        grid=(nt, nt),
+        in_specs=[
+            pl.BlockSpec((TILE, TILE), lambda i, j: (i, j)),
+            pl.BlockSpec((1, Dp), lambda i, j: (0, 0)),
+            pl.BlockSpec((8, Dp), lambda i, j: (0, 0)),
+            pl.BlockSpec((8, Dp), lambda i, j: (0, 0)),
+            pl.BlockSpec((8, 128), lambda i, j: (0, 0)),
+            pl.BlockSpec((16, 128), lambda i, j: (0, 0)),
+            pl.BlockSpec((16, 128), lambda i, j: (0, 0)),
+            pl.BlockSpec((Dp, Rp), lambda i, j: (0, 0)),
+        ],
+        out_specs=(pl.BlockSpec((TILE, TILE), lambda i, j: (i, j)),
+                   pl.BlockSpec((TILE, Rp), lambda i, j: (i, 0))),
+        interpret=_INTERPRET[0],
+    )(P, keep_p, E8, U8, C8, F16, Q16, Htp)
+    return out, pht[:, :R]
+
+
+def fused_manage_predict_pht(P, keep, E6, U6, C66, F13, Q13, Ht):
+    """P⁻ = Lp · (M∘P + E6ᵀU6 + U6ᵀE6 + E6ᵀC66E6) · Lpᵀ + Q̃ and
+    PHt = P⁻ · Ht in ONE streamed pass over P.
+
+    Lp = diag(F13, I) (predict_state_and_covariance.m:26-27); M∘ = keep
+    outer-product mask (delete_features + padding); the rank-6 terms are
+    the inverse-depth→cartesian conversion (inversedepth_2_cartesian.m:
+    37-45, mapman.ManageParams). Ht: (D, R) dense measurement-Jacobian
+    transpose (R = 2·CAP), giving the per-slot gain columns of
+    search_IC_matches.m:8 for free. Batched via vmap.
+
+    Returns (P_pred (D, D), PHt (D, R)).
+    """
+    if P.ndim == 2:
+        return _fused_manage_predict_single(
+            P, keep, E6, U6, C66, F13, Q13, Ht)
+    return jax.vmap(fused_manage_predict_pht)(
+        P, keep, E6, U6, C66, F13, Q13, Ht)
+
+
+def _downdate_renorm(P_ref, K_ref, PHt_ref, Jq_ref, out_ref, i, j):
+    """Shared tail core: out = T·sym(P − K·PHtᵀ)·Tᵀ for this tile (the body
+    of the round-1 fused_update_tail kernel, update.m:13-24)."""
+    Ki = K_ref[pl.ds(i * TILE, TILE), :]
+    Kj = K_ref[pl.ds(j * TILE, TILE), :]
+    PHti = PHt_ref[pl.ds(i * TILE, TILE), :]
+    PHtj = PHt_ref[pl.ds(j * TILE, TILE), :]
+    out = P_ref[:] - 0.5 * (_dot3(Ki, PHtj.T) + _dot3(PHti, Kj.T))
+
+    Jq = Jq_ref[0:8, 0:8]
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (TILE, 8), 0)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (TILE, 8), 1)
+    EQ = (ridx == cidx).astype(out.dtype)
+    stripe_mask_r = (ridx[:, 0:1] < 8)
+
+    @pl.when(i == 0)
+    def _():
+        stripe = _dot(Jq, _dot(EQ.T, out))
+        out_ref[:] = jnp.where(stripe_mask_r, _dot(EQ, stripe), out)
+
+    @pl.when(i != 0)
+    def _():
+        out_ref[:] = out
+
+    @pl.when(j == 0)
+    def _():
+        cur = out_ref[:]
+        stripe = _dot(_dot(cur, EQ), Jq.T)
+        col_mask = jax.lax.broadcasted_iota(
+            jnp.int32, (TILE, TILE), 1) < 8
+        out_ref[:] = jnp.where(col_mask, _dot(stripe, EQ.T), cur)
+
+
+def _tail_pht_kernel(P_ref, K_ref, PHt_ref, Jq_ref, Ht_ref, dm_ref,
+                     out_ref, pht_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    _downdate_renorm(P_ref, K_ref, PHt_ref, Jq_ref, out_ref, i, j)
+
+    @pl.when(j == 0)
+    def _():
+        pht_ref[:] = jnp.zeros_like(pht_ref)
+    # Mask ragged edge-tile columns (pad garbage) before the contraction.
+    ok = dm_ref[0, pl.ds(j * TILE, TILE)] > 0             # (TILE,)
+    final = jnp.where(ok[None, :], out_ref[:], 0.0)
+    pht_ref[:] += _dot3(final, Ht_ref[pl.ds(j * TILE, TILE), :])
+
+
+def _tail_add_kernel(P_ref, K_ref, PHt_ref, Jq_ref, keep_ref, E_ref, U_ref,
+                     C_ref, out_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    _downdate_renorm(P_ref, K_ref, PHt_ref, Jq_ref, out_ref, i, j)
+    keep_i = keep_ref[0, pl.ds(i * TILE, TILE)]
+    keep_j = keep_ref[0, pl.ds(j * TILE, TILE)]
+    t = jnp.where((keep_i[:, None] > 0) & (keep_j[None, :] > 0),
+                  out_ref[:], 0.0)
+    E_i = E_ref[:, pl.ds(i * TILE, TILE)]
+    E_j = E_ref[:, pl.ds(j * TILE, TILE)]
+    U_i = U_ref[:, pl.ds(i * TILE, TILE)]
+    U_j = U_ref[:, pl.ds(j * TILE, TILE)]
+    out_ref[:] = _lowrank6(t, E_i, E_j, U_i, U_j, C_ref[:])
+
+
+def _tail_pht_single(P, K, PHt, Jq4, Ht):
+    D = P.shape[0]
+    R = Ht.shape[1]
+    nt = pl.cdiv(D, TILE)
+    Dp = nt * TILE
+    Rp = pl.cdiv(R, 128) * 128
+    M = K.shape[1]
+    dt = P.dtype
+    if Dp != D:
+        K = jnp.concatenate([K, jnp.zeros((Dp - D, M), dt)])
+        PHt = jnp.concatenate([PHt, jnp.zeros((Dp - D, M), dt)])
+    Htp = jnp.zeros((Dp, Rp), dt)
+    Htp = jax.lax.dynamic_update_slice(Htp, Ht, (0, 0))
+    dmask = (jnp.arange(Dp) < D).astype(dt)[None, :]
+    out, pht = pl.pallas_call(
+        _tail_pht_kernel,
+        out_shape=(jax.ShapeDtypeStruct((D, D), dt),
+                   jax.ShapeDtypeStruct((D, Rp), dt)),
+        grid=(nt, nt),
+        in_specs=[
+            pl.BlockSpec((TILE, TILE), lambda i, j: (i, j)),
+            pl.BlockSpec((Dp, M), lambda i, j: (0, 0)),
+            pl.BlockSpec((Dp, M), lambda i, j: (0, 0)),
+            pl.BlockSpec((8, 128), lambda i, j: (0, 0)),
+            pl.BlockSpec((Dp, Rp), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, Dp), lambda i, j: (0, 0)),
+        ],
+        out_specs=(pl.BlockSpec((TILE, TILE), lambda i, j: (i, j)),
+                   pl.BlockSpec((TILE, Rp), lambda i, j: (i, 0))),
+        interpret=_INTERPRET[0],
+    )(P, K, PHt, _pad_Jq(Jq4), Htp, dmask)
+    return out, pht[:, :R]
+
+
+def fused_update_tail_pht(P, K, PHt, Jq4, Ht):
+    """K2: the LI-update covariance tail (downdate + symmetrize + quaternion
+    renorm, update.m:13-24) AND the posterior gain columns
+    PHt2 = P⁺ · Ht in the same single pass over P.
+
+    Ht: (D, R) dense posterior measurement-Jacobian transpose (R = 2·CAP),
+    linearized at the post-LI state — available before the kernel because
+    the state update x⁺ = x⁻ + Kν needs no covariance. Returns
+    (P_new (D, D), PHt2 (D, R)). Batched via vmap. Same precondition as
+    fused_update_tail: P symmetric on entry.
+    """
+    if P.ndim == 2:
+        return _tail_pht_single(P, K, PHt, Jq4, Ht)
+    return jax.vmap(fused_update_tail_pht)(P, K, PHt, Jq4, Ht)
+
+
+def _tail_add_single(P, K, PHt, Jq4, keepN, EN, UN, CN):
+    D = P.shape[0]
+    nt = pl.cdiv(D, TILE)
+    Dp = nt * TILE
+    M = K.shape[1]
+    dt = P.dtype
+    r = EN.shape[0]
+    rp = max(8, pl.cdiv(r, 8) * 8)
+    if rp > 128:
+        raise ValueError(f"feature-add rank {r} > 128; use the XLA path")
+    if Dp != D:
+        K = jnp.concatenate([K, jnp.zeros((Dp - D, M), dt)])
+        PHt = jnp.concatenate([PHt, jnp.zeros((Dp - D, M), dt)])
+    keep_p = _pad_rows(keepN[None, :], 1, Dp)
+    Ep = _pad_rows(EN, rp, Dp)
+    Up = _pad_rows(UN, rp, Dp)
+    Cp = _pad_rows(CN, rp, rp)
+    return pl.pallas_call(
+        _tail_add_kernel,
+        out_shape=jax.ShapeDtypeStruct((D, D), dt),
+        grid=(nt, nt),
+        in_specs=[
+            pl.BlockSpec((TILE, TILE), lambda i, j: (i, j)),
+            pl.BlockSpec((Dp, M), lambda i, j: (0, 0)),
+            pl.BlockSpec((Dp, M), lambda i, j: (0, 0)),
+            pl.BlockSpec((8, 128), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, Dp), lambda i, j: (0, 0)),
+            pl.BlockSpec((rp, Dp), lambda i, j: (0, 0)),
+            pl.BlockSpec((rp, Dp), lambda i, j: (0, 0)),
+            pl.BlockSpec((rp, rp), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TILE, TILE), lambda i, j: (i, j)),
+        interpret=_INTERPRET[0],
+    )(P, K, PHt, _pad_Jq(Jq4), keep_p, Ep, Up, Cp)
+
+
+def fused_update_tail_add(P, K, PHt, Jq4, keepN, EN, UN, CN):
+    """K3: the HI-update covariance tail AND the batched feature-init
+    write-back P' = M∘P⁺ + ENᵀUN + UNᵀEN + ENᵀCNEN in one pass
+    (ekf_update_hi_inliers.m + add_a_feature_covariance_inverse_depth.m:
+    61-64; mapman.add_features_batch's low-rank form).
+
+    keepN: (D,) zeroes the newly-assigned slots' dims; EN/UN: (6K, D) new
+    row selectors / values (U columns pre-masked to old dims); CN:
+    (6K, 6K) new-block covariance. 6K must be <= 128. Batched via vmap.
+    """
+    if P.ndim == 2:
+        return _tail_add_single(P, K, PHt, Jq4, keepN, EN, UN, CN)
+    return jax.vmap(fused_update_tail_add)(P, K, PHt, Jq4, keepN, EN, UN, CN)
+
+
 def pallas_supported() -> bool:
     """True when the default backend lowers Pallas TPU kernels."""
     try:

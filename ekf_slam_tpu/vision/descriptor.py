@@ -18,15 +18,19 @@ N_BITS = 256
 PATCH = 15          # descriptor support (odd)
 
 
-def _pattern(key=jax.random.key(1234)):
+def _pattern(key=None):
     """Fixed comparison pattern: N_BITS pairs of offsets in the patch,
-    Gaussian-concentrated like BRIEF."""
-    k1, k2 = jax.random.split(key)
+    Gaussian-concentrated like BRIEF. Computed in NumPy (a seeded host-side
+    constant): importing this module must NOT trigger device work — with
+    the tunneled-TPU backend an import-time jax.random call costs a remote
+    compile (advisor finding r1)."""
+    import numpy as np
+    rng = np.random.default_rng(1234)
     r = PATCH // 2
-    a = jnp.clip(jnp.round(jax.random.normal(k1, (N_BITS, 2)) * r / 2.5),
-                 -r, r).astype(jnp.int32)
-    b = jnp.clip(jnp.round(jax.random.normal(k2, (N_BITS, 2)) * r / 2.5),
-                 -r, r).astype(jnp.int32)
+    a = np.clip(np.round(rng.standard_normal((N_BITS, 2)) * r / 2.5),
+                -r, r).astype(np.int32)
+    b = np.clip(np.round(rng.standard_normal((N_BITS, 2)) * r / 2.5),
+                -r, r).astype(np.int32)
     return a, b
 
 
@@ -45,8 +49,13 @@ def _smooth3(img: jnp.ndarray) -> jnp.ndarray:
 def describe(img: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
     """Descriptors at K keypoints. img: (H, W); yx: (K, 2) int32.
     Returns (K, N_BITS) ±1 floats."""
-    H, W = img.shape
-    sm = _smooth3(img)
+    return describe_presmoothed(_smooth3(img), yx)
+
+
+def describe_presmoothed(sm: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
+    """describe() given an already-smoothed image — callers describing many
+    keypoint batches per frame (the per-slot matcher) smooth once."""
+    H, W = sm.shape
     r = PATCH // 2
     y = jnp.clip(yx[:, 0], r, H - 1 - r)
     x = jnp.clip(yx[:, 1], r, W - 1 - r)
@@ -55,7 +64,7 @@ def describe(img: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
     yb = y[:, None] + _PAT_B[None, :, 0]
     xb = x[:, None] + _PAT_B[None, :, 1]
     bits = sm[ya, xa] > sm[yb, xb]
-    return jnp.where(bits, 1.0, -1.0).astype(img.dtype)
+    return jnp.where(bits, 1.0, -1.0).astype(sm.dtype)
 
 
 def hamming_distance(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:

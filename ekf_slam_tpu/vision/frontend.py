@@ -29,10 +29,11 @@ import jax.numpy as jnp
 
 from ekf_slam_tpu.config import CAM_DIM, EngineConfig
 from ekf_slam_tpu.filter import ekf, engine, mapman, measurement
+from ekf_slam_tpu.filter.association import mahalanobis2
 from ekf_slam_tpu.filter.state import FilterState
 from ekf_slam_tpu.ops import quaternion as quat
 from ekf_slam_tpu.sim.scene import Scene
-from ekf_slam_tpu.vision import fast, ncc, patch_warp
+from ekf_slam_tpu.vision import descriptor, fast, ncc, patch_warp
 
 INIT_PATCH_HALF = 20   # 41x41 init patch (initialize_a_feature.m:4)
 MATCH_PATCH_HALF = 6   # 13x13 matching patch (initialize_a_feature.m:5)
@@ -44,6 +45,8 @@ class Appearance:
     patches: jnp.ndarray    # (CAP, 41, 41) init patches
     init_pose: jnp.ndarray  # (CAP, 7) [r(3) q(4)] camera pose at init
     init_px: jnp.ndarray    # (CAP, 2) pixel at init
+    descr: jnp.ndarray      # (CAP, N_BITS) ±1 init binary descriptor
+                            # (the FREAK slot of add_feature_to_info_vector)
 
 
 def init_appearance(cfg: EngineConfig) -> Appearance:
@@ -53,7 +56,8 @@ def init_appearance(cfg: EngineConfig) -> Appearance:
     return Appearance(
         patches=jnp.zeros((cap, p, p), dt),
         init_pose=jnp.zeros((cap, 7), dt).at[:, 3].set(1.0),
-        init_px=jnp.zeros((cap, 2), dt))
+        init_px=jnp.zeros((cap, 2), dt),
+        descr=jnp.zeros((cap, descriptor.N_BITS), dt))
 
 
 def render_scene_image(scene: Scene, x_cam: jnp.ndarray,
@@ -99,23 +103,87 @@ def landmark_world_points(state: FilterState) -> jnp.ndarray:
 
 def measure(state: FilterState, app: Appearance, img: jnp.ndarray,
             cfg: EngineConfig):
-    """Predict appearance + NCC search -> (z, z_valid) for every slot."""
+    """Predict + match from a freshly-computed prior (standalone use; the
+    per-frame pipeline uses measure_at_prior so ekf.predict runs ONCE)."""
+    x_prior, P_prior = ekf.predict(state.x, state.P, cfg.filter)
+    return measure_at_prior(state, app, img, x_prior, P_prior, cfg)
+
+
+def measure_at_prior(state: FilterState, app: Appearance, img: jnp.ndarray,
+                     x_prior: jnp.ndarray, P_prior: jnp.ndarray,
+                     cfg: EngineConfig):
+    """Appearance matching at a given prior -> (z, z_valid, h, visible).
+
+    Matcher selected by cfg.vision.matcher:
+    * "ncc"        — plane-homography-warped template + NCC scan over the
+                     χ²-gated window (crosscorr.m legacy path).
+    * "descriptor" — FAST corners inside the window, χ² gate on the corner
+                     innovation, binary-descriptor Hamming match against
+                     the stored init descriptor — the reference's primary
+                     matcher (matching.m:29-47: detectFASTFeatures in the
+                     ±2σ box, chi-square gating, FREAK matchFeatures).
+    """
     f = cfg.filter
-    x_prior, P_prior = ekf.predict(state.x, state.P, f)
     h, visible, hc = measurement.predict_measurements(
         x_prior, state.active, state.cartesian, cfg)
     H_xv, H_y = measurement.jacobians(x_prior, h, hc, state.cartesian,
                                       cfg.camera)
     S = measurement.innovation_covariances(P_prior, H_xv, H_y, f.sigma_z)
-    p_w = landmark_world_points(state)
-    templates = patch_warp.predict_appearance(
-        app.patches, app.init_pose, x_prior[:CAM_DIM], p_w,
-        app.init_px, h, cfg.camera, out_size=2 * MATCH_PATCH_HALF + 1)
-    z, score, found = ncc.match_all(
-        img, templates, h, S, visible,
-        cfg.matching.chi2_inv_2_95, cfg.vision.search_radius,
-        cfg.vision.min_ncc)
+    if cfg.vision.matcher == "descriptor":
+        z, score, found = match_all_descriptor(
+            img, app.descr, h, S, visible, cfg)
+    else:
+        p_w = landmark_world_points(state)
+        templates = patch_warp.predict_appearance(
+            app.patches, app.init_pose, x_prior[:CAM_DIM], p_w,
+            app.init_px, h, cfg.camera, out_size=2 * MATCH_PATCH_HALF + 1)
+        z, score, found = ncc.match_all(
+            img, templates, h, S, visible,
+            cfg.matching.chi2_inv_2_95, cfg.vision.search_radius,
+            cfg.vision.min_ncc)
     return z, found, h, visible
+
+
+def match_all_descriptor(img: jnp.ndarray, descr_init: jnp.ndarray,
+                         h_pred: jnp.ndarray, S: jnp.ndarray,
+                         visible: jnp.ndarray, cfg: EngineConfig):
+    """FAST + binary-descriptor matching per predicted feature
+    (matching.m:29-47 as batched TPU ops).
+
+    Per slot: crop the (2R+1)² window of the frame's NMS'd FAST response
+    around h_pred, keep the top `corners_per_window` corners, χ²-gate their
+    innovations against S (matching.m:38), describe them and pick the
+    minimum-Hamming candidate under max_hamming (matchFeatures with
+    MaxRatio 1 + threshold, matching.m:45-47). Returns (z, dist, found).
+    """
+    v = cfg.vision
+    R = v.search_radius
+    C = v.corners_per_window
+    chi2 = cfg.matching.chi2_inv_2_95
+    score = fast.non_max_suppress(
+        fast.fast_score(img, v.fast_threshold, v.fast_arc))
+    sm = descriptor._smooth3(img)            # smooth once per frame
+    W2 = 2 * R + 1
+
+    def one(d0, h, Si):
+        win, u0, v0 = ncc.extract_patch_anchored(score, h, R)
+        vals, idx = jax.lax.top_k(win.reshape(-1), C)
+        wy, wx = idx // W2, idx % W2
+        cu = (u0 + wx).astype(img.dtype)     # candidate pixel coords
+        cv = (v0 + wy).astype(img.dtype)
+        nu = jnp.stack([cu - h[0], cv - h[1]], axis=-1)      # (C, 2)
+        gate = (vals > 0.0) & (mahalanobis2(nu, Si) < chi2)
+        d = descriptor.describe_presmoothed(
+            sm, jnp.stack([v0 + wy, u0 + wx], axis=-1))      # (C, N_BITS)
+        dist = 0.5 * (d.shape[-1] - d @ d0)                  # Hamming
+        dist = jnp.where(gate, dist, jnp.inf)
+        best = jnp.argmin(dist)
+        found = jnp.isfinite(dist[best]) & (dist[best] <= v.max_hamming)
+        z = jnp.stack([cu[best], cv[best]])
+        return z, jnp.where(jnp.isfinite(dist[best]), dist[best], 1e9), found
+
+    z, dist, found = jax.vmap(one)(descr_init, h_pred, S)
+    return z, dist, found & visible
 
 
 def select_new_feature_pixels(img: jnp.ndarray, pred_px: jnp.ndarray,
@@ -143,10 +211,14 @@ def select_new_feature_pixels(img: jnp.ndarray, pred_px: jnp.ndarray,
 
 def store_appearance(app: Appearance, state: FilterState, img: jnp.ndarray,
                      uv: jnp.ndarray, assigned: jnp.ndarray) -> Appearance:
-    """Write the 41x41 patch + pose + pixel for candidates that landed in a
-    slot (add_feature_to_info_vector.m patch/pose capture)."""
+    """Write the 41x41 patch + pose + pixel + binary descriptor for
+    candidates that landed in a slot (add_feature_to_info_vector.m
+    patch/pose/FREAK capture, initialize_a_feature.m:51-54)."""
     x_cam = state.x[:CAM_DIM]
     pose = jnp.concatenate([x_cam[0:3], x_cam[3:7]])
+    # Descriptors for all candidates at once (one smoothing pass).
+    yx = jnp.stack([uv[:, 1], uv[:, 0]], axis=-1).astype(jnp.int32)
+    descrs = descriptor.describe(img, yx)                  # (K, N_BITS)
 
     def body(k, a):
         slot = assigned[k]
@@ -159,7 +231,9 @@ def store_appearance(app: Appearance, state: FilterState, img: jnp.ndarray,
             init_pose=a.init_pose.at[s].set(
                 jnp.where(ok, pose, a.init_pose[s])),
             init_px=a.init_px.at[s].set(
-                jnp.where(ok, uv[k], a.init_px[s])))
+                jnp.where(ok, uv[k], a.init_px[s])),
+            descr=a.descr.at[s].set(
+                jnp.where(ok, descrs[k], a.descr[s])))
 
     return jax.lax.fori_loop(0, uv.shape[0], body, app)
 
@@ -167,9 +241,18 @@ def store_appearance(app: Appearance, state: FilterState, img: jnp.ndarray,
 def step_image(state: FilterState, app: Appearance, img: jnp.ndarray,
                key: jax.Array, cfg: EngineConfig):
     """One full SLAM frame from PIXELS (the mono_slam.m per-step pipeline
-    with the toolbox matcher replaced). Returns (state, app, StepInfo)."""
-    z, z_valid, h_pred, pred_vis = measure(state, app, img, cfg)
-    state, visible, ic, info = engine.step_core(state, z, z_valid, key, cfg)
+    with the toolbox matcher replaced). Returns (state, app, StepInfo).
+
+    Stage order matches mono_slam.m:50-82 — map management, ONE EKF
+    prediction shared by the matcher and the filter (search_IC_matches
+    reuses ekf_prediction's x_k_km1), association/RANSAC/updates, then
+    feature initialization from the current frame."""
+    state = mapman.manage(state, cfg)                      # stage 1
+    x_prior, P_prior = ekf.predict(state.x, state.P, cfg.filter)  # stage 2
+    z, z_valid, h_pred, pred_vis = measure_at_prior(
+        state, app, img, x_prior, P_prior, cfg)            # stage 3 matching
+    state, visible, ic, info = engine.step_core_from_prior(
+        state, x_prior, P_prior, z, z_valid, key, cfg)     # stages 3-7
     # Feature initialization from the current image when starved.
     need = jnp.sum(ic) < cfg.map.min_features_in_image
     uv, cand = select_new_feature_pixels(img, h_pred, pred_vis, cfg)

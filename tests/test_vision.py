@@ -42,14 +42,20 @@ def test_fast_rejects_flat_and_edge():
 
 
 def test_binary_descriptor_matches_same_patch():
-    # Distinct blob widths -> distinct binary patterns per keypoint.
-    img = blob_image(centers=((20, 30), (40, 12), (50, 50)),
-                     sigs=(1.0, 2.0, 3.5))
+    # Distinct local textures -> distinct binary patterns per keypoint.
+    # (Radially-symmetric blobs are degenerate for pair-comparison
+    # descriptors: sign(I(a)-I(b)) depends only on |a-c| vs |b-c|.)
+    key = jax.random.key(7)
+    img = jnp.clip(0.5 + 0.3 * jax.random.normal(key, (64, 64)), 0.0, 1.0)
     yx = jnp.array([[20, 30], [40, 12], [50, 50]], jnp.int32)
     d = descriptor.describe(img, yx)
     idx, ok = descriptor.match(d, d, max_distance=10.0)
     np.testing.assert_array_equal(np.asarray(idx), np.arange(3))
     assert bool(jnp.all(ok))
+    # Distinct keypoints must be far apart in Hamming distance.
+    dist = descriptor.hamming_distance(d, d)
+    off_diag = dist + jnp.eye(3) * 1e9
+    assert float(jnp.min(off_diag)) > 40.0
 
 
 def test_ncc_finds_shifted_template():
@@ -112,13 +118,17 @@ def test_patch_warp_identity_pose():
 
 
 @pytest.mark.slow
-def test_slam_from_pixels_e2e():
-    """Full image pipeline: render frames -> FAST init -> NCC track -> EKF.
+@pytest.mark.parametrize("matcher", ["ncc", "descriptor"])
+def test_slam_from_pixels_e2e(matcher):
+    """Full image pipeline: render frames -> FAST init -> track -> EKF, in
+    BOTH matcher modes: "ncc" (crosscorr.m legacy path) and "descriptor"
+    (the reference's primary FAST+FREAK path, matching.m:29-47).
     This is the reference's whole mono_slam loop from pixels (configs[3])."""
     cfg = EngineConfig(
         map=MapConfig(capacity=24, min_features_in_image=10,
                       max_new_per_step=10),
-        vision=VisionConfig(search_radius=10, min_ncc=0.4),
+        vision=VisionConfig(search_radius=10, min_ncc=0.4, matcher=matcher,
+                            max_hamming=80.0),
         sim=SimConfig(num_landmarks=40, depth_min=2.0, depth_max=6.0,
                       v_init=(0.002, 0.0, 0.004), w_init=(0.0, 0.001, 0.0),
                       traj_accel_std=2e-4, traj_alpha_std=2e-4))

@@ -55,9 +55,10 @@ def device_vs_cpu(B=8, T=10):
                       max_new_per_step=10),
         sim=SimConfig(num_landmarks=128))
     # pallas auto-detect keys off the global default backend, so the CPU
-    # replica must force the XLA update path explicitly.
+    # replica must force the XLA update path (and the unfused step)
+    # explicitly.
     cfg_cpu = EngineConfig(
-        filter=FilterConfig(pallas_update="off"),
+        filter=FilterConfig(pallas_update="off", fused_step="off"),
         map=MapConfig(capacity=100, min_features_in_image=25,
                       max_new_per_step=10),
         sim=SimConfig(num_landmarks=128))

@@ -20,15 +20,26 @@ B = int(os.environ.get("B", "512"))
 CAP = 100
 
 
-def timeit(name, fn, *args, reps=5):
-    out = fn(*args)
+def timeit(name, step_fn, state0, keys, reps=8):
+    """CHAINED timing: the step is scanned reps times feeding the state
+    through — repeated same-arg dispatch is elided by the tunnel backend
+    (block_until_ready returns without executing), so only chained
+    execution measures real per-step cost."""
+    @jax.jit
+    def run(st):
+        def body(s, k):
+            return step_fn(s, k), ()
+        out, _ = jax.lax.scan(body, st, keys)
+        return out
+
+    out = run(state0)
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
+    out = run(jax.tree.map(
+        lambda a: a * (1 + 1e-6) if a.dtype.kind == "f" else a, out))
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / reps
-    print(f"{name:34s} {dt*1e3:9.2f} ms  ({B/dt:9.0f} inst/s)")
+    print(f"{name:34s} {dt*1e3:9.2f} ms  ({B/dt:9.0f} inst/s)", flush=True)
 
 
 def make_step(cfg, obs1, stages):
@@ -90,14 +101,27 @@ def main():
     stb = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), st)
     keys = jax.random.split(jax.random.key(1), B)
 
+    REPS = int(os.environ.get("REPS", "8"))
+    kseq = jax.random.split(jax.random.key(2), REPS)
     ALL = {"mapman", "predict", "ransac", "li_update", "hi_update", "init"}
     variants = [("ALL", ALL)] + [
         (f"-{s}", ALL - {s})
         for s in ["mapman", "predict", "ransac", "li_update", "hi_update",
                   "init"]]
+    if os.environ.get("FUSED", "0") == "1":
+        import dataclasses
+        from ekf_slam_tpu.config import FilterConfig as _FC
+        cfgf = dataclasses.replace(
+            cfg, filter=dataclasses.replace(cfg.filter, fused_step="on"))
+        fstep = jax.vmap(lambda s, k: engine.step_fused(s, obs1, k, cfgf)[0])
+        timeit("FUSED step", lambda st, k: fstep(
+            st, jax.random.split(k, B)), stb, kseq)
+        return
     for name, stages in variants:
-        fn = jax.jit(jax.vmap(make_step(cfg, obs1, stages)))
-        timeit(name, fn, stb, keys)
+        sfn = make_step(cfg, obs1, stages)
+        fn = jax.vmap(sfn)
+        timeit(name, lambda st, k, fn=fn: fn(
+            st, jax.random.split(k, B)), stb, kseq)
 
 
 if __name__ == "__main__":
