@@ -32,6 +32,8 @@ TARGET = 10_000.0  # steps/sec/chip (BASELINE.json north star)
 
 
 def main():
+    from ekf_slam_tpu.config import RansacConfig
+    cap = int(os.environ.get("BENCH_CAP", "100"))
     cfg = EngineConfig(
         # newton: Newton-Schulz SPD-inverse gain — pure MXU, tracks the
         # Cholesky gain to f32 accuracy (tests/test_compact_update.py)
@@ -39,8 +41,11 @@ def main():
             gain_solver=os.environ.get("BENCH_GAIN", "newton"),
             share_pht=os.environ.get("BENCH_SHARE_PHT", "0") == "1",
             fused_step=os.environ.get("BENCH_FUSED", "auto")),
-        map=MapConfig(capacity=100, min_features_in_image=25,
-                      max_new_per_step=10),
+        map=MapConfig(capacity=cap, min_features_in_image=25,
+                      max_new_per_step=10,
+                      max_update_obs=int(os.environ.get("BENCH_M", "64"))),
+        ransac=RansacConfig(
+            num_hypotheses=int(os.environ.get("BENCH_NHYP", "64"))),
         sim=SimConfig(num_landmarks=128),
         dtype="float32")
     # max_new_per_step=10: the per-frame candidate batch; steady state adds

@@ -220,7 +220,11 @@ def _dot3(a, b):
     a_hi·b_lo + a_lo·b_hi with f32 accumulation. HIGHEST (6-pass) costs
     2x the MXU time of this for accuracy the rest of the pipeline does
     not have. Non-f32 dtypes (the float64 interpret-mode tests) fall back
-    to the exact dot."""
+    to the exact dot. NOTE: currently UNUSED in the kernels — this
+    lowering hit a Mosaic "Bad lhs type" compile error on the target
+    toolchain when invoked from the engine's fused step (it compiled in a
+    standalone micro-benchmark); the kernels use the HIGHEST-precision
+    dots until the toolchain accepts it."""
     if a.dtype != jnp.float32:
         return _dot(a, b)
     a_hi = a.astype(jnp.bfloat16)
@@ -300,7 +304,7 @@ def _k1_kernel(P_ref, keep_ref, E_ref, U_ref, C_ref, F_ref, Q_ref, Ht_ref,
     @pl.when(j == 0)
     def _():
         pht_ref[:] = jnp.zeros_like(pht_ref)
-    pht_ref[:] += _dot3(out_ref[:], Ht_ref[pl.ds(j * TILE, TILE), :])
+    pht_ref[:] += _dot(out_ref[:], Ht_ref[pl.ds(j * TILE, TILE), :])
 
 
 def _pad_rows(a, rows, cols=None):
@@ -376,7 +380,7 @@ def _downdate_renorm(P_ref, K_ref, PHt_ref, Jq_ref, out_ref, i, j):
     Kj = K_ref[pl.ds(j * TILE, TILE), :]
     PHti = PHt_ref[pl.ds(i * TILE, TILE), :]
     PHtj = PHt_ref[pl.ds(j * TILE, TILE), :]
-    out = P_ref[:] - 0.5 * (_dot3(Ki, PHtj.T) + _dot3(PHti, Kj.T))
+    out = P_ref[:] - 0.5 * (_dot(Ki, PHtj.T) + _dot(PHti, Kj.T))
 
     Jq = Jq_ref[0:8, 0:8]
     ridx = jax.lax.broadcasted_iota(jnp.int32, (TILE, 8), 0)
@@ -414,7 +418,7 @@ def _tail_pht_kernel(P_ref, K_ref, PHt_ref, Jq_ref, Ht_ref, dm_ref,
     # Mask ragged edge-tile columns (pad garbage) before the contraction.
     ok = dm_ref[0, pl.ds(j * TILE, TILE)] > 0             # (TILE,)
     final = jnp.where(ok[None, :], out_ref[:], 0.0)
-    pht_ref[:] += _dot3(final, Ht_ref[pl.ds(j * TILE, TILE), :])
+    pht_ref[:] += _dot(final, Ht_ref[pl.ds(j * TILE, TILE), :])
 
 
 def _tail_add_kernel(P_ref, K_ref, PHt_ref, Jq_ref, keep_ref, E_ref, U_ref,
