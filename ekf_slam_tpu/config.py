@@ -186,6 +186,12 @@ class VisionConfig:
     matcher: str = "ncc"
     corners_per_window: int = 8    # FAST candidates kept per search window
     max_hamming: float = 64.0      # descriptor acceptance (of N_BITS=256)
+    # Template-warp distortion handling (rotate_with_dist_fc_c1c2.m:12-17):
+    # "exact" per-pixel round trip, "affine" anchor-exact first-order
+    # correction (<0.1 px residual, measured in tests/test_vision.py),
+    # "none" raw pixels (up to ~16 px template shift at frame corners —
+    # the round-1 behavior, kept for A/B only).
+    warp_distortion: str = "affine"
 
 
 @dataclasses.dataclass(frozen=True)

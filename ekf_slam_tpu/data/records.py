@@ -68,17 +68,25 @@ def load_weights(data_dir: str) -> np.ndarray:
 
 
 class ShardReader:
-    """Shuffled epoch iterator over .npz shards -> float batches."""
+    """Shuffled epoch iterator over .npz shards -> float batches.
 
-    def __init__(self, data_dir: str, batch_size: int, seed: int = 0):
+    With `prefetch > 0` (default 2) a background thread decompresses and
+    assembles batches ahead of the consumer — the host-side IO overlap the
+    reference got from map_and_batch/shuffle_and_repeat (calc2.py:107-120);
+    zlib decompression releases the GIL, so shard decode genuinely overlaps
+    the accelerator step. `prefetch=0` keeps the synchronous path."""
+
+    def __init__(self, data_dir: str, batch_size: int, seed: int = 0,
+                 prefetch: int = 2):
         self.paths = sorted(globlib.glob(os.path.join(data_dir,
                                                       "shard_*.npz")))
         if not self.paths:
             raise FileNotFoundError(f"no shards under {data_dir}")
         self.batch_size = batch_size
+        self.prefetch = prefetch
         self.rng = np.random.default_rng(seed)
 
-    def __iter__(self):
+    def _epoch(self):
         order = self.rng.permutation(len(self.paths))
         for si in order:
             with np.load(self.paths[si]) as shard:
@@ -91,3 +99,44 @@ class ShardReader:
                 x = imgs[sel].astype(np.float32) / 255.0
                 y = np.eye(N_CALC_CLASSES, dtype=np.float32)[labs[sel]]
                 yield x, y
+
+    def __iter__(self):
+        if self.prefetch <= 0:
+            yield from self._epoch()
+            return
+        import queue
+        import threading
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        _END = object()
+
+        def producer():
+            try:
+                for batch in self._epoch():
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+            finally:
+                while not stop.is_set():
+                    try:
+                        q.put(_END, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                yield item
+        finally:
+            stop.set()
+            t.join(timeout=5.0)

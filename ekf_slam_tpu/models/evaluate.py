@@ -69,31 +69,37 @@ def geometric_rerank(d_live, kp_live: kp_mod.Keypoints, d_mem,
     top-K cosine candidates by keypoint ratio-test + fundamental RANSAC and
     keep the candidate with most inliers. Returns (labels, scores) where
     score = cosine sim of the geometric winner."""
-    sim = np.asarray(cosine_similarity_matrix(d_live, d_mem))
+    sim = cosine_similarity_matrix(d_live, d_mem)
     L = sim.shape[0]
 
-    def verify_one(i, k):
-        cand = jnp.argsort(-jnp.asarray(sim[i]))[:top_k]
+    @jax.jit
+    def verify_all(sim, descr_live, yx_live, descr_mem, yx_mem, keys):
+        """One fused program: vmap over live images x top-K candidates —
+        L*top_k ratio-test + fundamental-RANSAC verifications batched on
+        device (replaces the round-1 per-image Python loop)."""
+        cand = jnp.argsort(-sim, axis=1)[:, :top_k]          # (L, top_k)
 
-        def inl(c, kk):
-            idx2, ok = kp_mod.ratio_test_matches(
-                kp_live.descr[i], kp_mem.descr[c], cfg.ratio)
-            return lc.fundamental_ransac(
-                kp_live.yx[i], kp_mem.yx[c][idx2], ok, cfg, kk)
+        def one(di, yi, cand_i, key_i):
+            def inl(c, kk):
+                idx2, ok = kp_mod.ratio_test_matches(
+                    di, descr_mem[c], cfg.ratio)
+                return lc.fundamental_ransac(yi, yx_mem[c][idx2], ok,
+                                             cfg, kk)
+            counts = jax.vmap(inl)(cand_i, jax.random.split(key_i, top_k))
+            best = jnp.argmax(counts)
+            return cand_i[best], counts[best]
 
-        counts = jax.vmap(inl)(cand, jax.random.split(k, top_k))
-        best = jnp.argmax(counts)
-        return cand[best], counts[best]
+        return jax.vmap(one)(descr_live, yx_live, cand, keys)
 
-    labels = np.zeros(L, np.int32)
-    scores = np.zeros(L, np.float64)
-    keys = jax.random.split(key, L)
-    for i in range(L):
-        cid, inliers = verify_one(i, keys[i])
-        cid = int(cid)
-        labels[i] = int(cid == i)
-        scores[i] = sim[i, cid] * (int(inliers) >= cfg.min_inliers)
-    return labels, scores
+    cids, inliers = verify_all(sim, kp_live.descr, kp_live.yx,
+                               kp_mem.descr, kp_mem.yx,
+                               jax.random.split(key, L))
+    cids = np.asarray(cids)
+    sim = np.asarray(sim)
+    labels = (cids == np.arange(L)).astype(np.int32)
+    scores = (sim[np.arange(L), cids]
+              * (np.asarray(inliers) >= cfg.min_inliers))
+    return labels, scores.astype(np.float64)
 
 
 def evaluate_pairs(model, variables, live_images, mem_images,

@@ -150,7 +150,12 @@ def fit(model: VSS, tcfg: TrainConfig, batches, num_steps: int,
         class_weights = records.load_weights(data_dir)
     if class_weights is not None:
         class_weights = jnp.asarray(class_weights, jnp.float32)
-    it = itertools.cycle(batches) if hasattr(batches, "__len__") else batches
+    if hasattr(batches, "__next__"):
+        it = batches                       # already an iterator
+    else:
+        # re-iterable (list, ShardReader, ...): loop epochs, re-invoking
+        # __iter__ so epoch-shuffling loaders re-shuffle.
+        it = itertools.chain.from_iterable(itertools.repeat(batches))
     metrics = {}
     for step_i in range(num_steps):
         images, labels = next(it)

@@ -136,7 +136,8 @@ def measure_at_prior(state: FilterState, app: Appearance, img: jnp.ndarray,
         p_w = landmark_world_points(state)
         templates = patch_warp.predict_appearance(
             app.patches, app.init_pose, x_prior[:CAM_DIM], p_w,
-            app.init_px, h, cfg.camera, out_size=2 * MATCH_PATCH_HALF + 1)
+            app.init_px, h, cfg.camera, out_size=2 * MATCH_PATCH_HALF + 1,
+            distortion=cfg.vision.warp_distortion)
         z, score, found = ncc.match_all(
             img, templates, h, S, visible,
             cfg.matching.chi2_inv_2_95, cfg.vision.search_radius,

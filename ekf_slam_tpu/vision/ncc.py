@@ -66,6 +66,38 @@ def ncc_scores(window: jnp.ndarray, template: jnp.ndarray) -> jnp.ndarray:
     return corr / (pnorm * tnorm)
 
 
+def crosscorr(a: jnp.ndarray, b: jnp.ndarray, svd: bool = False):
+    """Scalar zero-mean NCC of two equal-size patches (crosscorr.m:14-27),
+    or the rotation-invariant SVD variant when `svd=True` (crosscorr.m's
+    third-arg mode). Batched over leading axes: a, b: (..., h, w) ->
+    (...,). Uses population (flag=1) normalization like the reference."""
+    if svd:
+        return crosscorr_svd(a, b)
+    am = a - jnp.mean(a, axis=(-2, -1), keepdims=True)
+    bm = b - jnp.mean(b, axis=(-2, -1), keepdims=True)
+    num = jnp.sum(am * bm, axis=(-2, -1))
+    den = jnp.sqrt(jnp.sum(am * am, axis=(-2, -1))
+                   * jnp.sum(bm * bm, axis=(-2, -1)))
+    return jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
+
+
+def crosscorr_svd(a: jnp.ndarray, b: jnp.ndarray):
+    """Rotation-invariant patch similarity: the correlation coefficient of
+    the two patches' singular-value spectra (crosscorrsvd, crosscorr.m:29-42
+    — singular values are invariant to in-plane rotation/reflection of the
+    patch). Batched over leading axes; population normalization."""
+    d1 = jnp.linalg.svd(a, compute_uv=False)
+    d2 = jnp.linalg.svd(b, compute_uv=False)
+    d1m = d1 - jnp.mean(d1, axis=-1, keepdims=True)
+    d2m = d2 - jnp.mean(d2, axis=-1, keepdims=True)
+    # score = mean_i[(d1_i-m1)(d2_i-m2)] / (std1*std2): the population
+    # Pearson correlation of the spectra (den==0 -> 0, as the reference).
+    num = jnp.mean(d1m * d2m, axis=-1)
+    den = jnp.sqrt(jnp.mean(d1m * d1m, axis=-1)
+                   * jnp.mean(d2m * d2m, axis=-1))
+    return jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
+
+
 def match_feature(img: jnp.ndarray, template: jnp.ndarray,
                   h_pred: jnp.ndarray, S: jnp.ndarray, chi2_gate: float,
                   search_radius: int, min_ncc: float):

@@ -10,9 +10,14 @@ current camera, then cropped to the 13x13 matching patch.
 TPU redesign: the reference warps through per-pixel undistort/rotate/distort
 round trips (rotate_with_dist_fc_c1c2.m:12-17) with interp2. Here the plane
 homography H = K (R − t nᵀ / d) K⁻¹ is composed once per feature in
-UNDISTORTED pixel space and the warp is one batched bilinear gather —
-distortion is a second-order effect over a 13-px patch and the NCC matcher
-is photometric-normalized anyway.
+UNDISTORTED pixel space, then (default) corrected for lens distortion by
+folding anchor-exact first-order distortion maps into the 3x3
+(distortion_corrected_homography) so the warp stays ONE batched bilinear
+gather. The reference-faithful per-pixel round trip is kept as
+warp_patch_distorted / predict_appearance(distortion="exact");
+tests/test_vision.py measures the affine default against it (<0.1 px
+residual across the frame, vs up-to-16-px template shift at corners if
+distortion is ignored — the round-1 "none" mode).
 """
 
 from __future__ import annotations
@@ -86,10 +91,91 @@ def warp_patch(patch: jnp.ndarray, H: jnp.ndarray, center_src,
     return out.reshape(out_size, out_size)
 
 
+def _bilinear(patch: jnp.ndarray, su: jnp.ndarray, sv: jnp.ndarray,
+              out_size: int) -> jnp.ndarray:
+    P = patch.shape[-1]
+    x0 = jnp.clip(jnp.floor(su).astype(jnp.int32), 0, P - 2)
+    y0 = jnp.clip(jnp.floor(sv).astype(jnp.int32), 0, P - 2)
+    tx = jnp.clip(su - x0, 0.0, 1.0)
+    ty = jnp.clip(sv - y0, 0.0, 1.0)
+    out = (patch[y0, x0] * (1 - tx) * (1 - ty)
+           + patch[y0 + 1, x0] * (1 - tx) * ty
+           + patch[y0, x0 + 1] * tx * (1 - ty)
+           + patch[y0 + 1, x0 + 1] * tx * ty)
+    return out.reshape(out_size, out_size)
+
+
+def distortion_corrected_homography(H: jnp.ndarray, center_src,
+                                    center_dst,
+                                    cam: CameraConfig) -> jnp.ndarray:
+    """Compose the undistorted-space homography H with first-order
+    distortion corrections so it can be applied DIRECTLY to distorted
+    pixel coordinates: map = A_src⁻¹ ∘ H ∘ A_dst... more precisely the
+    returned 3x3 M satisfies, to first order around the patch centers,
+
+        distort(H_u · undistort(p_dst)) ≈ M · p_dst
+
+    with EXACT equality at center_dst (the anchor is mapped through the
+    true undistort→H→distort round trip — removing the up-to-16-px
+    systematic template shift the raw-pixel application of H has at frame
+    corners with the reference calibration; tests/test_vision.py measures
+    the residual at <0.1 px over a 13-px patch). One extra Newton distort
+    + two 2x2 Jacobians per feature — no per-pixel round trip."""
+    from ekf_slam_tpu.ops import camera as cam_ops
+    dt = H.dtype
+    c_dst = jnp.asarray(center_dst, dt)
+    # H maps src (init view) -> dst (current view) in undistorted pixels;
+    # warp_patch samples through inv(H_corr) applied to distorted dst
+    # pixels. We want inv(H_corr) = A_src ∘ H⁻¹ ∘ A_dst with
+    #   A_dst: distorted dst -> undistorted dst, anchored at c_dst,
+    #   A_src: undistorted src -> distorted src, anchored at H⁻¹(c_dst).
+    u_dst = cam_ops.undistort(c_dst, cam)                  # anchor, exact
+    Ju = cam_ops.jacob_undistort(c_dst, cam)               # d undist / d dist
+    A_dst = jnp.eye(3, dtype=dt)
+    A_dst = A_dst.at[:2, :2].set(Ju).at[:2, 2].set(u_dst - Ju @ c_dst)
+    # Anchor through H⁻¹ (projective) -> undistorted src point.
+    s = jnp.linalg.solve(H, jnp.concatenate([u_dst, jnp.ones((1,), dt)]))
+    s_u = s[:2] / s[2]
+    s_d = cam_ops.distort(s_u, cam)                        # exact anchor
+    Jd = cam_ops.jacob_distort(s_d, cam)   # d dist / d undist, AT s_d
+    A_src = jnp.eye(3, dtype=dt)
+    A_src = A_src.at[:2, :2].set(Jd).at[:2, 2].set(s_d - Jd @ s_u)
+    del center_src  # anchoring uses the true H⁻¹ image of the dst center
+    return jnp.linalg.inv(A_dst) @ H @ jnp.linalg.inv(A_src)
+
+
+def warp_patch_distorted(patch: jnp.ndarray, H: jnp.ndarray, center_src,
+                         center_dst, out_size: int,
+                         cam: CameraConfig) -> jnp.ndarray:
+    """warp_patch with the reference's per-pixel distortion round trip
+    (rotate_with_dist_fc_c1c2.m:12-17): each destination pixel (distorted
+    image coordinates) is undistorted, mapped through the inverse
+    undistorted-space homography, then re-distorted (Newton) into source
+    image coordinates before the bilinear gather. ~3x the arithmetic of
+    warp_patch for a 13x13 patch; tests/test_vision.py measures the
+    deviation of the fast path against this one."""
+    from ekf_slam_tpu.ops import camera as cam_ops
+    P = patch.shape[-1]
+    o = out_size // 2
+    d = jnp.arange(-o, o + 1, dtype=patch.dtype)
+    gy, gx = jnp.meshgrid(d, d, indexing="ij")
+    dst = jnp.stack([gx + center_dst[0], gy + center_dst[1]], axis=-1)
+    dst_u = cam_ops.undistort(dst, cam)                    # (o, o, 2)
+    ones = jnp.ones(dst_u.shape[:-1] + (1,), patch.dtype)
+    pts = jnp.concatenate([dst_u, ones], axis=-1).reshape(-1, 3)
+    src_u = pts @ jnp.linalg.inv(H).T
+    src_u = src_u[:, :2] / src_u[:, 2:3]
+    src_d = cam_ops.distort(src_u, cam)
+    su = src_d[:, 0] - center_src[0] + (P // 2)
+    sv = src_d[:, 1] - center_src[1] + (P // 2)
+    return _bilinear(patch, su, sv, out_size)
+
+
 def predict_appearance(patches: jnp.ndarray, init_pose: jnp.ndarray,
                        x_cam: jnp.ndarray, p_w: jnp.ndarray,
                        h_init: jnp.ndarray, h_now: jnp.ndarray,
-                       cam: CameraConfig, out_size: int = 13) -> jnp.ndarray:
+                       cam: CameraConfig, out_size: int = 13,
+                       distortion: str = "affine") -> jnp.ndarray:
     """Batch over features (predict_features_appearance.m loop, vmapped).
 
     patches: (CAP, P, P) stored init patches; init_pose: (CAP, 7) [r q] at
@@ -97,12 +183,22 @@ def predict_appearance(patches: jnp.ndarray, init_pose: jnp.ndarray,
     x_cam: (13,) current camera state; p_w: (CAP, 3) current landmark
     estimates; h_init/h_now: (CAP, 2) pixel locations at init/predicted now.
     Returns (CAP, out, out) predicted matching patches.
+
+    `distortion`: how rotate_with_dist_fc_c1c2.m's per-pixel round trip is
+    treated — "exact" (per-pixel, reference-faithful), "affine" (default:
+    anchor-exact first-order correction folded into the homography,
+    <0.1 px residual at 1/3 the cost), "none" (raw pixels, up to ~16 px
+    template shift at frame corners with the reference calibration).
     """
     r2 = x_cam[0:3]
     q2 = x_cam[3:7]
 
     def one(patch, pose1, p, hi, hn):
         H = plane_homography(pose1[0:3], pose1[3:7], r2, q2, p, cam)
+        if distortion == "exact":
+            return warp_patch_distorted(patch, H, hi, hn, out_size, cam)
+        if distortion == "affine":
+            H = distortion_corrected_homography(H, hi, hn, cam)
         return warp_patch(patch, H, hi, hn, out_size)
 
     return jax.vmap(one)(patches, init_pose, p_w, h_init, h_now)

@@ -1,4 +1,7 @@
 from ekf_slam_tpu.viz.plots import (plot_frame, plot_map_3d,
+                                    plot_uncertain_surface_xz,
+                                    uncertain_surface_xz_hull,
                                     uncertainty_ellipse_points)
 
-__all__ = ["plot_frame", "plot_map_3d", "uncertainty_ellipse_points"]
+__all__ = ["plot_frame", "plot_map_3d", "plot_uncertain_surface_xz",
+           "uncertain_surface_xz_hull", "uncertainty_ellipse_points"]

@@ -2,7 +2,8 @@
 
 The reference stitches saved MATLAB .fig frames into results.avi
 (fig2avi.m:1-17). Here frames render to arrays and export as animated GIF
-via PIL (no video-codec dependency in the image).
+via PIL, or as MP4/AVI through ffmpeg when it is installed (save_video —
+raw RGB piped to the encoder, no Python codec dependency).
 """
 
 from __future__ import annotations
@@ -31,6 +32,43 @@ def save_animation(path: str, frames: Iterable[np.ndarray],
     imgs[0].save(path, save_all=True, append_images=imgs[1:],
                  duration=int(1000 / fps), loop=0)
     return len(imgs)
+
+
+def _to_rgb_u8(frame: np.ndarray) -> np.ndarray:
+    a = np.asarray(frame)
+    if a.dtype != np.uint8:
+        a = (np.clip(a, 0.0, 1.0) * 255).astype(np.uint8)
+    if a.ndim == 2:
+        a = np.stack([a] * 3, axis=-1)
+    return a
+
+
+def save_video(path: str, frames: Iterable[np.ndarray],
+               fps: float = 10.0) -> int:
+    """Write frames to MP4/AVI via ffmpeg (fig2avi.m:1-17 analog): raw RGB
+    piped to `ffmpeg -f rawvideo`. Falls back to save_animation on a .gif
+    sibling path when ffmpeg is absent; returns the frame count."""
+    import shutil
+    import subprocess
+
+    if shutil.which("ffmpeg") is None:
+        gif = path.rsplit(".", 1)[0] + ".gif"
+        return save_animation(gif, frames)
+    frames = [_to_rgb_u8(f) for f in frames]
+    assert frames, "no frames"
+    h, w = frames[0].shape[:2]
+    # yuv420p (the broadly-playable pixel format) needs even dimensions.
+    h2, w2 = h - h % 2, w - w % 2
+    proc = subprocess.Popen(
+        ["ffmpeg", "-y", "-loglevel", "error", "-f", "rawvideo",
+         "-pix_fmt", "rgb24", "-s", f"{w2}x{h2}", "-r", str(fps), "-i", "-",
+         "-pix_fmt", "yuv420p", path],
+        stdin=subprocess.PIPE)
+    for f in frames:
+        proc.stdin.write(f[:h2, :w2].tobytes())
+    proc.stdin.close()
+    assert proc.wait() == 0, "ffmpeg failed"
+    return len(frames)
 
 
 def render_overlay_frames(images, h_pred, S, visible, ic, li, hi,

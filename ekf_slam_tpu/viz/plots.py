@@ -47,9 +47,15 @@ def uncertainty_ellipse_points(S: np.ndarray, center: np.ndarray,
     return center[:, None] + np.sqrt(chi2) * (L @ circle)
 
 
-def plot_frame(ax_or_path, image, h_pred, S, visible, ic, li, hi):
+def plot_frame(ax_or_path, image, h_pred, S, visible, ic, li, hi,
+               z=None, patches=None):
     """Image overlay with the plots.m color code. `image` may be None
-    (ellipses only). Saves to path if a str is given."""
+    (ellipses only). Saves to path if a str is given.
+
+    Optional plots.m:22-50 extras: `z` (CAP, 2) draws a green '+' at the
+    actual measurement of every individually-compatible feature
+    (plots.m:48-50); `patches` (CAP, t, t) blits each matched template at
+    h - half_patch, the imagesc of patch_when_matching (plots.m:22-23)."""
     plt = _mpl()
     own = isinstance(ax_or_path, str)
     if own:
@@ -60,6 +66,13 @@ def plot_frame(ax_or_path, image, h_pred, S, visible, ic, li, hi):
         ax.imshow(np.asarray(image), cmap="gray", vmin=0, vmax=1)
     h_pred = np.asarray(h_pred)
     S = np.asarray(S)
+    if patches is not None:
+        patches = np.asarray(patches)
+        half = patches.shape[-1] // 2
+        for i in np.nonzero(np.asarray(visible))[0]:
+            u, v = h_pred[i]
+            ax.imshow(patches[i], cmap="gray", vmin=0, vmax=1,
+                      extent=(u - half, u + half, v + half, v - half))
     groups = [
         (np.asarray(visible) & ~np.asarray(ic), "tab:blue", 0.8, "unmatched"),
         (np.asarray(ic) & ~np.asarray(li) & ~np.asarray(hi), "magenta", 0.8,
@@ -73,7 +86,15 @@ def plot_frame(ax_or_path, image, h_pred, S, visible, ic, li, hi):
             pts = uncertainty_ellipse_points(S[i], h_pred[i])
             ax.plot(pts[0], pts[1], color=color, lw=lw,
                     label=label if first else None)
+            ax.plot(h_pred[i, 0], h_pred[i, 1], marker="+", ms=6,
+                    color=color, ls="none")
             first = False
+    if z is not None:
+        zz = np.asarray(z)
+        icm = np.nonzero(np.asarray(ic))[0]
+        if icm.size:
+            ax.plot(zz[icm, 0], zz[icm, 1], "g+", ms=8, ls="none",
+                    label="measurement")
     ax.legend(loc="upper right", fontsize=6)
     ax.set_title("thick red: LI / thin red: HI / magenta: rejected / "
                  "blue: unmatched", fontsize=7)
@@ -93,6 +114,70 @@ def chi2_shell_samples(dim: int = 6, n: int = 1000, seed: int = 0,
     v = rng.normal(size=(n, dim))
     v /= np.linalg.norm(v, axis=1, keepdims=True)
     return v * np.sqrt(chi2)
+
+
+def _convex_hull_2d(pts: np.ndarray) -> np.ndarray:
+    """Indices of the convex hull of (N, 2) points, counter-clockwise
+    (Andrew monotone chain — no scipy dependency)."""
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts_s = pts[order]
+
+    def half(idx):
+        out = []
+        for i in idx:
+            while len(out) >= 2:
+                o, a = pts_s[out[-2]], pts_s[out[-1]]
+                if (a[0] - o[0]) * (pts_s[i][1] - o[1]) - \
+                   (a[1] - o[1]) * (pts_s[i][0] - o[0]) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(i)
+        return out
+
+    lower = half(range(len(pts_s)))
+    upper = half(range(len(pts_s) - 1, -1, -1))
+    return order[np.array(lower[:-1] + upper[:-1], dtype=np.int64)]
+
+
+def uncertain_surface_xz_hull(C6: np.ndarray, y6: np.ndarray,
+                              n: int = 1000, seed: int = 0):
+    """XZ-plane convex hull of an inverse-depth feature's 95% uncertainty
+    region (plotUncertainSurfaceXZ.m:1-30): sample the chi^2_95(6) shell,
+    map through chol(C6) around y6 = (x, y, z, theta, phi, rho), keep
+    rho > 0 samples (>10 required, like the reference), convert to
+    cartesian p = xyz + m(theta, phi)/rho, and hull the (x, z) projection.
+    Returns (K, 2) closed hull polygon or None if too few rho>0 samples."""
+    C = 0.5 * (np.asarray(C6, np.float64) + np.asarray(C6, np.float64).T)
+    y6 = np.asarray(y6, np.float64)
+    try:
+        L = np.linalg.cholesky(C)
+    except np.linalg.LinAlgError:
+        w, V = np.linalg.eigh(C)
+        L = V @ np.diag(np.sqrt(np.maximum(w, 0.0)))
+    pts = chi2_shell_samples(6, n, seed) @ L.T + y6      # (n, 6)
+    pts = pts[pts[:, 5] > 0]
+    if pts.shape[0] <= 10:
+        return None
+    theta, phi, rho = pts[:, 3], pts[:, 4], pts[:, 5]
+    m = np.stack([np.cos(phi) * np.sin(theta), -np.sin(phi),
+                  np.cos(phi) * np.cos(theta)], axis=-1)
+    cart = pts[:, 0:3] + m / rho[:, None]
+    xz = cart[:, [0, 2]]
+    hull = _convex_hull_2d(xz)
+    return xz[np.concatenate([hull, hull[:1]])]
+
+
+def plot_uncertain_surface_xz(ax, C6, y6, color="b", n: int = 1000,
+                              seed: int = 0):
+    """Draw the XZ uncertainty hull at y=0 on a 3D axis
+    (plotUncertainSurfaceXZ.m's plot3 of the hull)."""
+    poly = uncertain_surface_xz_hull(C6, y6, n, seed)
+    if poly is None:
+        return False
+    ax.plot(poly[:, 0], np.zeros(len(poly)), poly[:, 1], color=color,
+            lw=1.5)
+    return True
 
 
 def draw_camera(ax, r, R, scale=0.1, color="k"):

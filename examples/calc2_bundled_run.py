@@ -1,0 +1,208 @@
+"""CALC2 bundled-data round: shards -> training -> PR-AUC -> loop closure.
+
+The reference trains on COCO-Stuff, evaluates PR on CampusLoopDataset and
+closes loops on KITTI ("CALC 2.0"/calc2.py --mode train/pr,
+close_kitti_loops.py). None of those datasets can be downloaded in this
+environment (zero egress), so this driver runs the SAME protocol end to end
+on a deterministic bundled-generator dataset (data/synthetic.py Voronoi
+scenes — class-structured layouts with class-correlated appearance):
+
+  1. build npz record shards + dataset-level loss weights
+     (records.write_shards — the gen_tfrecords.py equivalent),
+  2. train the VSS with the 4-term objective, data-parallel when >1 device
+     (train.fit, checkpoints via orbax),
+  3. CampusLoop-protocol evaluation: N held-out "places"; memory = clean
+     render, live = homography-warped + brightness-shifted view
+     (augment.positive_view — the same viewpoint-change model the
+     reference trains against); report plain-CALC2 PR-AUC for the TRAINED
+     vs UNTRAINED network (retrieval lift) and the G-CALC2 geometric
+     re-rank AUC (test_net.py:176-268),
+  4. online loop closure over a revisit sequence (close_kitti_loops.py
+     protocol via models/loop_runner.run_online): declared-loop precision.
+
+Writes runs/calc2_metrics.json + checkpoint; docs/CALC2_RUN.md records the
+numbers.
+
+  python examples/calc2_bundled_run.py --steps 400 --out runs/calc2
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_shards(out_dir, n_images, hw, seed=7):
+    from ekf_slam_tpu.data import synthetic_batch
+    from ekf_slam_tpu.data.records import write_shards
+
+    def pairs():
+        k = jax.random.key(seed)
+        done = 0
+        while done < n_images:
+            k, sub = jax.random.split(k)
+            imgs, labels = synthetic_batch(sub, 16, hw)
+            cls = np.asarray(jnp.argmax(labels, axis=-1)).astype(np.uint8)
+            arr = np.asarray(imgs * 255.0).astype(np.uint8)
+            for i in range(arr.shape[0]):
+                if done >= n_images:
+                    return
+                yield arr[i], cls[i]
+                done += 1
+
+    return write_shards(out_dir, pairs(), shard_size=64)
+
+
+def eval_places(model, variables, n_places, hw, key):
+    """CampusLoop-style pairs: memory = clean scene render; live = the same
+    place through a random homography + brightness change."""
+    from ekf_slam_tpu.data import synthetic_batch
+    from ekf_slam_tpu.models import augment, evaluate
+
+    mem, _ = synthetic_batch(jax.random.key(1234), n_places, hw)
+    live = augment.positive_view(key, mem)
+    out = evaluate.evaluate_pairs(model, variables, live, mem, batch=8)
+    return out, live, mem
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--width", type=int, default=16)
+    ap.add_argument("--hw", type=int, nargs=2, default=(96, 128))
+    ap.add_argument("--images", type=int, default=1024)
+    ap.add_argument("--places", type=int, default=64)
+    ap.add_argument("--out", default="runs/calc2")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from jax.sharding import Mesh
+    from ekf_slam_tpu.data.records import ShardReader, load_weights
+    from ekf_slam_tpu.models import evaluate, keypoints as kp_mod
+    from ekf_slam_tpu.models import loopclosure as lc
+    from ekf_slam_tpu.models import loop_runner, train
+    from ekf_slam_tpu.models.vss import VSSConfig
+    from ekf_slam_tpu.utils import MetricsLogger
+
+    os.makedirs(args.out, exist_ok=True)
+    hw = tuple(args.hw)
+    data_dir = os.path.join(args.out, "shards")
+    t0 = time.time()
+    if not os.path.exists(os.path.join(data_dir, "loss_weights.txt")):
+        n_shards = build_shards(data_dir, args.images, hw)
+        print(f"wrote {n_shards} shards ({args.images} images) "
+              f"in {time.time()-t0:.0f}s")
+
+    model = train.create_model(VSSConfig(width=args.width))
+    tcfg = train.TrainConfig(batch_size=args.batch, image_hw=hw,
+                             ckpt_every=max(args.steps // 2, 1))
+    # Untrained baseline first (same init seed as training).
+    state0 = train.init_state(model, tcfg, jax.random.key(tcfg.seed))
+    vars0 = {"params": state0.params, "batch_stats": state0.batch_stats}
+    base_eval, live, mem = eval_places(
+        model, vars0, args.places, hw, jax.random.key(5))
+    print(f"UNTRAINED PR-AUC: {base_eval['auc']:.4f}")
+
+    n_dev = jax.device_count()
+    mesh = Mesh(np.array(jax.devices()), ("data",)) \
+        if n_dev > 1 and args.batch % n_dev == 0 else None
+    logger = MetricsLogger()
+    t0 = time.time()
+    state, metrics = train.fit(
+        model, tcfg, ShardReader(data_dir, args.batch), args.steps,
+        mesh=mesh, ckpt_dir=args.out, logger=logger, data_dir=data_dir)
+    train_s = time.time() - t0
+    logger.dump_jsonl(os.path.join(args.out, "train_metrics.jsonl"))
+    print(logger.table(last_n=3))
+    print(f"trained {args.steps} steps in {train_s:.0f}s "
+          f"({args.steps/max(train_s,1e-9):.1f} steps/s)")
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    trained_eval, _, _ = eval_places(
+        model, variables, args.places, hw, jax.random.key(5))
+    print(f"TRAINED PR-AUC: {trained_eval['auc']:.4f} "
+          f"(lift {trained_eval['auc'] - base_eval['auc']:+.4f})")
+
+    # G-CALC2 re-rank (test_net.py:176-206).
+    @jax.jit
+    def embed_kp(imgs):
+        outs = model.apply(variables, imgs, train=False,
+                           rngs={"reparam": jax.random.key(0)},
+                           descriptor_only=True)
+        return outs["descriptor"], kp_mod.kp_descriptor(outs["c5"])
+
+    def batched_embed(imgs):
+        ds, kps = [], []
+        for i in range(0, imgs.shape[0], 8):
+            d, k = embed_kp(imgs[i:i + 8])
+            ds.append(d)
+            kps.append(k)
+        return (jnp.concatenate(ds),
+                jax.tree.map(lambda *a: jnp.concatenate(a), *kps))
+
+    d_live, kp_live = batched_embed(live)
+    d_mem, kp_mem = batched_embed(mem)
+    lcfg = lc.LoopConfig(min_inliers=10, ransac_hypotheses=16)
+    glabels, gscores = evaluate.geometric_rerank(
+        d_live, kp_live, d_mem, kp_mem, lcfg, jax.random.key(9), top_k=5)
+    g_auc = evaluate.pr_auc(glabels, gscores)
+    print(f"G-CALC2 re-rank PR-AUC: {g_auc:.4f}")
+
+    # Online loop closure on a revisit sequence (close_kitti_loops.py
+    # protocol): first pass through P places, then revisit them (warped).
+    P = min(24, args.places)
+    seq = jnp.concatenate([mem[:P], live[:P]], axis=0)
+    lcfg2 = lc.LoopConfig(capacity=128, top_k=3, exclude_recent=P // 2,
+                          min_db=P // 2, sim_threshold=0.8, min_inliers=10,
+                          ransac_hypotheses=16, consistency_count=2,
+                          consistency_window=2)
+    x0 = jnp.zeros(13).at[3].set(1.0)
+    P0 = jnp.eye(13) * 1e-2
+    db, xf, Pf, outs = loop_runner.run_online(
+        model, variables, seq, x0, P0, lcfg2, jax.random.key(11))
+    declared = np.asarray(outs.declared)
+    match = np.asarray(outs.match_id)
+    # A declared loop at revisit step P+i is correct if it matched frame
+    # within the consistency window of i.
+    correct = 0
+    for t in np.flatnonzero(declared):
+        if t >= P and abs(int(match[t]) - (t - P)) <= 3:
+            correct += 1
+    n_declared = int(declared.sum())
+    print(f"loops declared on revisit pass: {n_declared} "
+          f"({correct} correct)")
+
+    train.save_checkpoint(
+        os.path.abspath(os.path.join(args.out, "ckpt_final")), state)
+    results = {
+        "steps": args.steps, "width": args.width, "hw": list(hw),
+        "images": args.images, "places": args.places,
+        "loss_first": (logger.series("loss")[0]
+                       if logger.series("loss") else None),
+        "loss_last": (logger.series("loss")[-1]
+                      if logger.series("loss") else None),
+        "pr_auc_untrained": float(base_eval["auc"]),
+        "pr_auc_trained": float(trained_eval["auc"]),
+        "pr_auc_gcalc2": float(g_auc),
+        "loops_declared": n_declared, "loops_correct": correct,
+        "train_steps_per_s": args.steps / max(train_s, 1e-9),
+        "class_weights": load_weights(data_dir).tolist(),
+    }
+    with open(os.path.join(args.out, "calc2_metrics.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps({k: v for k, v in results.items()
+                      if k != "class_weights"}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

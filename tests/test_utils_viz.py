@@ -75,6 +75,101 @@ def test_save_animation_gif(tmp_path):
     assert im.n_frames == 4
 
 
+def test_uncertain_surface_xz_hull():
+    from ekf_slam_tpu.viz import uncertain_surface_xz_hull
+    # Feature straight ahead (theta=phi=0, rho=0.5 -> depth 2 on +z) with
+    # small uncertainty: the hull must be a closed polygon around (0, 2).
+    y6 = np.array([0.0, 0.0, 0.0, 0.0, 0.0, 0.5])
+    C6 = np.diag([1e-4] * 3 + [1e-4, 1e-4, 1e-3])
+    poly = uncertain_surface_xz_hull(C6, y6, n=500)
+    assert poly is not None and poly.shape[1] == 2
+    assert np.allclose(poly[0], poly[-1])            # closed
+    cx, cz = poly[:-1].mean(axis=0)
+    assert abs(cx) < 0.1 and abs(cz - 2.0) < 0.3
+    # Hull contains the nominal point (convexity check via support test).
+    assert (poly[:, 1].min() < 2.0 < poly[:, 1].max())
+    # rho mostly negative -> too few samples -> None (reference's >10 rule).
+    y6_bad = np.array([0, 0, 0, 0, 0, -50.0])
+    assert uncertain_surface_xz_hull(C6, y6_bad, n=500) is None
+
+
+def test_crosscorr_and_svd_variant():
+    import jax.numpy as jnp
+    from ekf_slam_tpu.vision.ncc import crosscorr, crosscorr_svd
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.random((7, 7)), jnp.float32)
+    # Identical patches: both scores == 1.
+    assert abs(float(crosscorr(a, a)) - 1.0) < 1e-5
+    assert abs(float(crosscorr_svd(a, a)) - 1.0) < 1e-4
+    # SVD variant is rotation-invariant (crosscorr.m:29-42): a 90° rotation
+    # keeps the singular values, so the score stays 1 while plain NCC drops.
+    a90 = jnp.rot90(a)
+    assert abs(float(crosscorr_svd(a, a90)) - 1.0) < 1e-4
+    assert float(crosscorr(a, a90)) < 0.9
+    # Flat patch -> den == 0 -> score 0 (reference's (den~=0) guard). For
+    # the SVD variant the guard needs a constant *spectrum*: zeros.
+    flat = jnp.ones((7, 7), jnp.float32)
+    assert float(crosscorr(flat, a)) == 0.0
+    assert float(crosscorr_svd(jnp.zeros((7, 7)), jnp.zeros((7, 7)))) == 0.0
+    # svd= flag routes (crosscorr.m nargin==3 mode) and batching works.
+    b = jnp.asarray(rng.random((4, 7, 7)), jnp.float32)
+    assert crosscorr(b, b, svd=True).shape == (4,)
+
+
+def test_plot_frame_with_measurements_and_patches(tmp_path):
+    try:
+        import matplotlib  # noqa: F401
+    except ImportError:
+        import pytest
+        pytest.skip("matplotlib not installed")
+    n = 4
+    h = np.random.rand(n, 2) * 100 + 10
+    S = np.tile(np.eye(2) * 4, (n, 1, 1))
+    vis = np.ones(n, bool)
+    ic = np.array([1, 1, 0, 0], bool)
+    li = np.array([1, 0, 0, 0], bool)
+    hi = np.array([0, 1, 0, 0], bool)
+    z = h + np.random.randn(n, 2)
+    patches = np.random.rand(n, 13, 13)
+    p = str(tmp_path / "frame_full.png")
+    plot_frame(p, np.random.rand(120, 160), h, S, vis, ic, li, hi,
+               z=z, patches=patches)
+    assert os.path.getsize(p) > 0
+
+
+def test_save_video_fallback_or_mp4(tmp_path):
+    import shutil
+    from ekf_slam_tpu.viz.animation import save_video
+    frames = [np.random.rand(16, 20) for _ in range(3)]
+    p = str(tmp_path / "out.mp4")
+    n = save_video(p, frames, fps=5)
+    assert n == 3
+    if shutil.which("ffmpeg"):
+        assert os.path.getsize(p) > 0
+    else:  # GIF fallback written next to the requested path
+        assert os.path.getsize(str(tmp_path / "out.gif")) > 0
+
+
+def test_video_sequence_requires_ffmpeg(tmp_path):
+    import shutil
+    import pytest
+    from ekf_slam_tpu.io.sequence import VideoSequence
+    if shutil.which("ffmpeg") and shutil.which("ffprobe"):
+        # Round-trip: encode 4 gray frames, decode, compare.
+        from ekf_slam_tpu.viz.animation import save_video
+        frames = [np.full((16, 20), v, np.float32)
+                  for v in (0.1, 0.4, 0.7, 0.9)]
+        p = str(tmp_path / "clip.mp4")
+        save_video(p, frames, fps=5)
+        vs = VideoSequence(p)
+        got = vs.load(0, len(vs))
+        assert got.shape[1:] == (16, 20)
+        assert abs(float(got[0].mean()) - 0.1) < 0.08
+    else:
+        with pytest.raises(RuntimeError, match="ffmpeg"):
+            VideoSequence(str(tmp_path / "missing.mp4"))
+
+
 def test_coco_adapter_gated():
     import pytest
     from ekf_slam_tpu.data import coco as coco_mod

@@ -117,6 +117,91 @@ def test_patch_warp_identity_pose():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
 
 
+def _warp_sample_coords(H, center_dst, cam, mode, o=6):
+    """Source-pixel sampling coordinates each warp mode uses for the
+    (2o+1)^2 dst grid around center_dst."""
+    from ekf_slam_tpu.ops import camera as cam_ops
+    d = jnp.arange(-o, o + 1, dtype=jnp.float64)
+    gy, gx = jnp.meshgrid(d, d, indexing="ij")
+    dst = jnp.stack([gx + center_dst[0], gy + center_dst[1]], axis=-1)
+    ones = jnp.ones(dst.shape[:-1] + (1,), jnp.float64)
+    if mode == "exact":
+        du = cam_ops.undistort(dst, cam)
+        pts = jnp.concatenate([du, ones], axis=-1).reshape(-1, 3)
+        s = pts @ jnp.linalg.inv(H).T
+        return cam_ops.distort(s[:, :2] / s[:, 2:3], cam)
+    if mode == "affine":
+        H = patch_warp.distortion_corrected_homography(H, None, center_dst,
+                                                       cam)
+    pts = jnp.concatenate([dst, ones], axis=-1).reshape(-1, 3)
+    s = pts @ jnp.linalg.inv(H).T
+    return s[:, :2] / s[:, 2:3]
+
+
+def test_warp_distortion_modes_measured():
+    """Measures the template-warp distortion approximation against the
+    reference-faithful per-pixel round trip (rotate_with_dist_fc_c1c2.m:
+    12-17) over a 13-px patch at the default calibration:
+
+      * "affine" (default): < 0.1 px everywhere, including frame corners;
+      * "none" (round-1 behavior): sub-px near the center but >5 px
+        systematic shift at corners — the documented reason "affine" is
+        the default.
+    """
+    from ekf_slam_tpu.ops import camera as cam_ops
+    from ekf_slam_tpu.ops import quaternion as quat
+    cfg = EngineConfig()
+    cam = cfg.camera
+    r1 = jnp.zeros(3, jnp.float64)
+    q1 = jnp.array([1.0, 0, 0, 0], jnp.float64)
+    r2 = jnp.array([0.15, 0.05, 0.02], jnp.float64)
+    q2 = quat.v2q(jnp.array([0.03, 0.08, 0.02], jnp.float64))
+    fku = cam.f / cam.d
+    corner_devs, center_devs = [], []
+    for target in [(20.0, 20.0), (300.0, 220.0), (160.0, 120.0)]:
+        uv = jnp.array(target, jnp.float64)
+        uvu = cam_ops.undistort(uv, cam)
+        ray = jnp.array([(uvu[0] - cam.cx) / fku,
+                         (uvu[1] - cam.cy) / fku, 1.0]) * 2.0
+        H = patch_warp.plane_homography(r1, q1, r2, q2, ray, cam)
+        s_exact = _warp_sample_coords(H, uv, cam, "exact")
+        for mode in ("affine", "none"):
+            dev = float(jnp.max(jnp.linalg.norm(
+                _warp_sample_coords(H, uv, cam, mode) - s_exact, axis=-1)))
+            if mode == "affine":
+                assert dev < 0.1, (target, dev)
+            elif target == (160.0, 120.0):
+                center_devs.append(dev)
+            else:
+                corner_devs.append(dev)
+    assert min(corner_devs) > 5.0          # why "none" is no longer default
+    assert max(center_devs) < 1.0
+
+
+def test_predict_appearance_distortion_modes_agree():
+    """predict_appearance output: affine mode tracks exact mode closely on
+    a textured patch; identity-pose warp still round-trips."""
+    cfg = EngineConfig()
+    img = blob_image()
+    patch41 = ncc.extract_patch(img, jnp.array([30.0, 20.0]), 20)
+    patches = patch41[None]
+    init_pose = jnp.concatenate([jnp.zeros(3),
+                                 jnp.array([1.0, 0, 0, 0])])[None]
+    x_cam = jnp.zeros(13).at[3].set(1.0)
+    p_w = jnp.array([[0.0, 0.0, 3.0]])
+    h = jnp.array([[30.0, 20.0]])
+    outs = {m: patch_warp.predict_appearance(
+        patches, init_pose, x_cam, p_w, h, h, cfg.camera, 13, distortion=m)
+        for m in ("none", "affine", "exact")}
+    # Identity pose: every mode reproduces the stored patch center.
+    ref = ncc.extract_patch(img, jnp.array([30.0, 20.0]), 6)
+    for m, out in outs.items():
+        np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref),
+                                   atol=0.05, err_msg=m)
+    np.testing.assert_allclose(np.asarray(outs["affine"]),
+                               np.asarray(outs["exact"]), atol=0.02)
+
+
 @pytest.mark.slow
 @pytest.mark.parametrize("matcher", ["ncc", "descriptor"])
 def test_slam_from_pixels_e2e(matcher):
