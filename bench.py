@@ -31,6 +31,69 @@ FRAMES = int(os.environ.get("BENCH_FRAMES", "8"))  # frames per timed run
 TARGET = 10_000.0  # steps/sec/chip (BASELINE.json north star)
 
 
+def main_pixels():
+    """Image-path variant (BENCH_MODE=pixels): full step_image pipeline —
+    template warp + NCC/descriptor matching + FAST init + the filter — on
+    pre-rendered frames (rendering is sim-only overhead and excluded).
+    Smaller batch: the front-end adds ~25 MFLOP/step of sliding-window
+    work per instance."""
+    from ekf_slam_tpu.config import VisionConfig
+    from ekf_slam_tpu.vision import frontend
+
+    b = int(os.environ.get("BENCH_PIXB", "64"))
+    cap = int(os.environ.get("BENCH_CAP", "100"))
+    cfg = EngineConfig(
+        filter=FilterConfig(gain_solver=os.environ.get("BENCH_GAIN",
+                                                       "newton")),
+        map=MapConfig(capacity=cap, min_features_in_image=25,
+                      max_new_per_step=10, max_update_obs=64),
+        vision=VisionConfig(matcher=os.environ.get("BENCH_MATCHER", "ncc")),
+        sim=SimConfig(num_landmarks=128),
+        dtype="float32")
+    scn, xs, _ = simulate(jax.random.key(0), cfg, FRAMES)
+    render = jax.jit(frontend.render_scene_image, static_argnames="cfg")
+    imgs = jnp.stack([render(scn, xs[t], cfg) for t in range(FRAMES)])
+
+    st0 = init_state(cfg)
+    app0 = frontend.init_appearance(cfg)
+    st_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (b,) + a.shape), st0)
+    app_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (b,) + a.shape),
+                         app0)
+
+    @jax.jit
+    def run(states, apps, ks):
+        def one(st, app, k):
+            def body(carry, inp):
+                s, a = carry
+                img, kk = inp
+                s, a, info = frontend.step_image(s, a, img, kk, cfg)
+                return (s, a), s.x[:13]
+            (s, a), traj = jax.lax.scan(
+                body, (st, app), (imgs, jax.random.split(k, FRAMES)))
+            return s, traj
+        return jax.vmap(one)(states, apps, ks)
+
+    keys = jax.random.split(jax.random.key(1), b)
+    final, traj = run(st_b, app_b, keys)
+    jax.block_until_ready(traj)
+    t0 = time.perf_counter()
+    n_rep = 3
+    for i in range(n_rep):
+        final, traj = run(st_b, app_b,
+                          jax.random.split(jax.random.key(2 + i), b))
+    jax.block_until_ready(traj)
+    dt = time.perf_counter() - t0
+    assert bool(jnp.all(jnp.isfinite(traj))), "non-finite trajectories"
+    assert bool(jnp.all(jnp.isfinite(final.P))), "non-finite covariance"
+    steps_per_sec = b * FRAMES * n_rep / dt
+    print(json.dumps({
+        "metric": "image_path_slam_steps_per_sec_per_chip_cap100",
+        "value": round(steps_per_sec, 1),
+        "unit": "steps/s/chip",
+        "vs_baseline": round(steps_per_sec / TARGET, 3),
+    }))
+
+
 def main():
     from ekf_slam_tpu.config import RansacConfig
     cap = int(os.environ.get("BENCH_CAP", "100"))
@@ -93,4 +156,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_MODE", "sim") == "pixels":
+        main_pixels()
+    else:
+        main()
