@@ -103,7 +103,8 @@ def main():
         filter=FilterConfig(
             gain_solver=os.environ.get("BENCH_GAIN", "newton"),
             share_pht=os.environ.get("BENCH_SHARE_PHT", "0") == "1",
-            fused_step=os.environ.get("BENCH_FUSED", "auto")),
+            fused_step=os.environ.get("BENCH_FUSED", "auto"),
+            p_storage=os.environ.get("BENCH_PSTORE", "f32")),
         map=MapConfig(capacity=cap, min_features_in_image=25,
                       max_new_per_step=10,
                       max_update_obs=int(os.environ.get("BENCH_M", "64"))),

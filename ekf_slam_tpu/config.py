@@ -102,6 +102,13 @@ class FilterConfig:
     # tail+PHt, HI tail+feature-init). "auto" = on TPU-class backends at
     # float32; "on"/"off" force it.
     fused_step: str = "auto"
+    # Covariance storage dtype: "f32" (default; required by the golden
+    # 1e-6-equivalence guarantee) or "bf16" — P carried and materialized in
+    # bfloat16 with ALL algebra still f32 (upcast fused into reads,
+    # downcast into writes: ekf.p_compute/p_store). Halves the HBM traffic
+    # of every full-P pass at ~0.4% per-write rounding; a consistency-
+    # analyzed fast mode (tests/test_bf16_storage.py), not a parity mode.
+    p_storage: str = "f32"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -30,6 +30,34 @@ from ekf_slam_tpu.filter import motion
 from ekf_slam_tpu.ops import quaternion as quat
 
 
+import os
+
+# Matmul precision for everything covariance-touching. "float32" (HIGHEST,
+# up to 6 bf16 passes per f32 matmul on TPU) is the verified-safe default;
+# "tensorfloat32" (HIGH, 3-pass bf16 emulation) halves the memory passes
+# over P in the big P·Hᵀ products — A/B'd via EKF_COV_PRECISION and only
+# promoted if tools/check_tpu_numerics.py stays clean.
+_COV_PRECISION = os.environ.get("EKF_COV_PRECISION", "float32")
+
+
+def p_compute(P: jnp.ndarray) -> jnp.ndarray:
+    """Storage -> compute view of the covariance: a bfloat16-stored P
+    (FilterConfig.p_storage='bf16') upcasts to float32 for all algebra;
+    the convert fuses into the consuming matmul/elementwise read, so the
+    HBM read stays half-width. No-op for f32/f64 storage."""
+    return P.astype(jnp.float32) if P.dtype == jnp.bfloat16 else P
+
+
+def p_store(P_new: jnp.ndarray, P_like: jnp.ndarray) -> jnp.ndarray:
+    """Compute -> storage: downcast a freshly-materialized covariance to
+    the carried storage dtype (fuses into the producing write). Pair of
+    p_compute. bf16 storage halves every full-P HBM materialization; the
+    cost is ~0.4% relative rounding per write — the fast mode is gated by
+    config and excluded from the golden-equivalence paths."""
+    return (P_new.astype(P_like.dtype)
+            if P_like.dtype == jnp.bfloat16 else P_new)
+
+
 def f32_matmuls(fn):
     """Run `fn` with float32-accurate matmuls.
 
@@ -40,7 +68,7 @@ def f32_matmuls(fn):
     unaffected by the setting."""
     @functools.wraps(fn)
     def wrapped(*args, **kwargs):
-        with jax.default_matmul_precision("float32"):
+        with jax.default_matmul_precision(_COV_PRECISION):
             return fn(*args, **kwargs)
     return wrapped
 
@@ -59,13 +87,14 @@ def predict(x: jnp.ndarray, P: jnp.ndarray, cfg: FilterConfig):
 
     # P⁻ = [F P₁₁ Fᵀ + Q , F P₁ₘ ; Pₘ₁ Fᵀ , Pₘₘ] — assembled with concat
     # (one output materialization) instead of repeated .at[].set copies.
-    top = F @ P[:CAM_DIM, :]                       # (13, D)
+    Pf = p_compute(P)
+    top = F @ Pf[:CAM_DIM, :]                      # (13, D)
     top = jnp.concatenate(
         [top[:, :CAM_DIM] @ F.T + Q, top[:, CAM_DIM:]], axis=1)
     bottom = jnp.concatenate(
-        [top[:, CAM_DIM:].T, P[CAM_DIM:, CAM_DIM:]], axis=1)
+        [top[:, CAM_DIM:].T, Pf[CAM_DIM:, CAM_DIM:]], axis=1)
     P_pred = jnp.concatenate([top, bottom], axis=0)
-    return x_pred, P_pred
+    return x_pred, p_store(P_pred, P)
 
 
 @f32_matmuls
@@ -84,7 +113,7 @@ def update_gain(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray,
     nu = (z - h) * mask
     r_eff = jnp.where(row_mask, r_diag, jnp.ones_like(r_diag))
     if PHt is None:
-        PHt = P @ H.T                          # (D, M)
+        PHt = p_compute(P) @ H.T               # (D, M)
     else:
         PHt = PHt * mask[None, :]
     S = H @ PHt + jnp.diag(r_eff)              # (M, M), SPD
@@ -119,16 +148,17 @@ def update(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray, z: jnp.ndarray,
     # quaternion renorm (update.m:18-24). The whole covariance tail is
     # HBM-bound; on TPU it runs as ONE fused Pallas pass
     # (ops/pallas_kernels.fused_update_tail) when use_pallas is set.
-    if use_pallas and x.dtype == jnp.float32:
+    if use_pallas and x.dtype == jnp.float32 and P.dtype == jnp.float32:
         from ekf_slam_tpu.ops import pallas_kernels
         Jq = quat.norm_jac(x_new[3:7])
         P_new = pallas_kernels.fused_update_tail(P, K, PHt, Jq)
         x_new = x_new.at[3:7].set(
             x_new[3:7] / jnp.linalg.norm(x_new[3:7]))
         return x_new, P_new
-    P_new = 0.5 * (P - K @ PHt.T)
+    P_new = 0.5 * (p_compute(P) - K @ PHt.T)
     P_new = P_new + P_new.T
-    return _renormalize_quaternion(x_new, P_new)
+    x_new, P_new = _renormalize_quaternion(x_new, P_new)
+    return x_new, p_store(P_new, P)
 
 
 def _spd_inverse(S: jnp.ndarray) -> jnp.ndarray:
@@ -211,11 +241,12 @@ def update_iterated(x: jnp.ndarray, P: jnp.ndarray, z: jnp.ndarray,
     mask = row_mask.astype(dtype)
     r_eff = jnp.where(row_mask, r_diag, jnp.ones_like(r_diag))
     x0 = x
+    Pc = p_compute(P)
 
     def gain(xi):
         h, H = h_fn(xi)
         H = H * mask[:, None]
-        PHt = P @ H.T
+        PHt = Pc @ H.T
         S = H @ PHt + jnp.diag(r_eff)
         K = PHt @ _spd_inverse(S)
         return h, H, PHt, K
@@ -228,6 +259,7 @@ def update_iterated(x: jnp.ndarray, P: jnp.ndarray, z: jnp.ndarray,
     xi = jax.lax.fori_loop(0, num_iters, body, x)
     # Final covariance at the last linearization point.
     _, _, PHt, K = gain(xi)
-    P_new = P - K @ PHt.T
+    P_new = Pc - K @ PHt.T
     P_new = 0.5 * (P_new + P_new.T)
-    return _renormalize_quaternion(xi, P_new)
+    xi, P_new = _renormalize_quaternion(xi, P_new)
+    return xi, p_store(P_new, P)

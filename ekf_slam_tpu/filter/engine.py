@@ -206,7 +206,8 @@ def _use_fused(cfg: EngineConfig) -> bool:
         return False
     fits = (6 * cfg.map.max_new_per_step <= 128
             and 0 < cfg.map.max_update_obs < cfg.map.capacity
-            and not cfg.filter.use_iterated_update)
+            and not cfg.filter.use_iterated_update
+            and cfg.filter.p_storage == "f32")
     if mode == "on":
         if not fits:
             raise ValueError("fused_step=on requires 6*max_new_per_step "

@@ -122,12 +122,13 @@ def add_one_feature(state: FilterState, uvd: jnp.ndarray, slot: jnp.ndarray,
 
     off = _slot_slice(slot)
     x_new = jax.lax.dynamic_update_slice(state.x, y, (off,))
-    rows = dy_dxv @ state.P[:CAM_DIM, :]                        # (6, D)
-    diag = (dy_dxv @ state.P[:CAM_DIM, :CAM_DIM] @ dy_dxv.T
+    sdt = state.P.dtype
+    rows = dy_dxv @ ekf.p_compute(state.P)[:CAM_DIM, :]         # (6, D)
+    diag = (dy_dxv @ ekf.p_compute(state.P)[:CAM_DIM, :CAM_DIM] @ dy_dxv.T
             + dy_dhd @ Padd @ dy_dhd.T)                         # (6, 6)
-    P = jax.lax.dynamic_update_slice(state.P, rows, (off, 0))
-    P = jax.lax.dynamic_update_slice(P, rows.T, (0, off))
-    P = jax.lax.dynamic_update_slice(P, diag, (off, off))
+    P = jax.lax.dynamic_update_slice(state.P, rows.astype(sdt), (off, 0))
+    P = jax.lax.dynamic_update_slice(P, rows.T.astype(sdt), (0, off))
+    P = jax.lax.dynamic_update_slice(P, diag.astype(sdt), (off, off))
     del std_pxl
     return state.replace(
         x=x_new, P=P,
@@ -165,7 +166,8 @@ def add_features_batch(state: FilterState, uvd: jnp.ndarray,
 
     Returns (state, assigned (K,) int32 slot per candidate, -1 if skipped).
     """
-    p, assigned = add_params(state.P[:CAM_DIM, :], state, uvd, cand_mask,
+    Pf = ekf.p_compute(state.P)
+    p, assigned = add_params(Pf[:CAM_DIM, :], state, uvd, cand_mask,
                              lm_ids, cfg)
     # --- scatter-free write-back --------------------------------------------
     # Dynamic scatters into P (especially along columns) serialize on TPU
@@ -175,9 +177,9 @@ def add_features_batch(state: FilterState, uvd: jnp.ndarray,
     # outputs XLA fuses into one read + one write of P (or zero extra
     # passes when fused into the HI-tail kernel).
     contrib = p.E.T @ p.U
-    P = (state.P * (p.keep_f[:, None] * p.keep_f[None, :])
+    P = (Pf * (p.keep_f[:, None] * p.keep_f[None, :])
          + contrib + contrib.T + p.E.T @ p.C @ p.E)
-    return p.state.replace(P=P), assigned
+    return p.state.replace(P=ekf.p_store(P, state.P)), assigned
 
 
 def add_params(P_cam_rows: jnp.ndarray, state: FilterState,
@@ -336,8 +338,9 @@ def manage(state: FilterState, cfg: EngineConfig) -> FilterState:
 def apply_manage_P(P: jnp.ndarray, p: ManageParams) -> jnp.ndarray:
     """XLA apply of the ManageParams low-rank form: one P read + write."""
     contrib = p.E6.T @ p.U6
-    return (P * (p.keep_f[:, None] * p.keep_f[None, :])
-            + contrib + contrib.T + p.E6.T @ p.C66 @ p.E6)
+    out = (ekf.p_compute(P) * (p.keep_f[:, None] * p.keep_f[None, :])
+           + contrib + contrib.T + p.E6.T @ p.C66 @ p.E6)
+    return ekf.p_store(out, P)
 
 
 @ekf.f32_matmuls
@@ -363,7 +366,7 @@ def _convert_params(state: FilterState, cfg: EngineConfig,
     y3, theta, phi, rho = slots[:, 0:3], slots[:, 3], slots[:, 4], slots[:, 5]
     idx = jnp.arange(cap)
     rho_dims = CAM_DIM + 6 * idx + 5
-    rho_var = state.P[rho_dims, rho_dims] * ks[rho_dims]
+    rho_var = state.P[rho_dims, rho_dims].astype(dtype) * ks[rho_dims]
     # Guard rho==0 on inactive slots.
     safe_rho = jnp.where(rho == 0, jnp.ones_like(rho), rho)
     std_d = jnp.sqrt(jnp.maximum(rho_var, 0.0)) / safe_rho**2
@@ -407,7 +410,7 @@ def _convert_params(state: FilterState, cfg: EngineConfig,
     # ks column-scales the gathered rows (fused delete); the chosen slot's
     # own row scale is 1 because `eligible` requires an active (kept) slot.
     slot_rows = (jax.lax.dynamic_slice(state.P, (off, 0), (6, D))
-                 * do.astype(dtype) * ks[None, :])           # (6, D)
+                 .astype(dtype) * do.astype(dtype) * ks[None, :])  # (6, D)
     new_rows3 = J @ slot_rows                               # (3, D)
     new_rows = jnp.concatenate(
         [new_rows3, jnp.zeros((3, D), dtype)], axis=0)      # (6, D)

@@ -140,6 +140,8 @@ def innovation_covariances(P: jnp.ndarray, H_xv: jnp.ndarray,
     S_i = Hxvᵢ P₁₁ Hxvᵢᵀ + Hxvᵢ P₁ᵧᵢ Hyᵢᵀ + (·)ᵀ + Hyᵢ Pᵧᵢᵧᵢ Hyᵢᵀ + R.
     Returns (CAP, 2, 2).
     """
+    from ekf_slam_tpu.filter.ekf import p_compute
+    P = p_compute(P)
     cap = H_xv.shape[0]
     P11 = P[:CAM_DIM, :CAM_DIM]
     # Cross/diag blocks per slot, gathered by reshape (slots are regular).
@@ -222,6 +224,8 @@ def pht_slots(P: jnp.ndarray, H_xv: jnp.ndarray,
     `out[:, sel, :].reshape(D, 2M)` needs NO transpose (the round-1
     (CAP, D, 2) layout paid a full transposed copy per consumer). Rows are
     masked by whatever mask was already applied to H_xv/H_y."""
+    from ekf_slam_tpu.filter.ekf import p_compute
+    P = p_compute(P)
     cap = H_xv.shape[0]
     P1 = P[:, :CAM_DIM]                                    # (D, 13)
     Py = P[:, CAM_DIM:].reshape(P.shape[0], cap, 6)        # (D, CAP, 6)

@@ -71,9 +71,12 @@ def init_state(cfg: EngineConfig) -> FilterState:
     diag = diag.at[0:7].set(f.eps_pose)
     diag = diag.at[7:10].set(f.std_v_0**2)
     diag = diag.at[10:13].set(f.std_w_0**2)
+    P = jnp.diag(diag)
+    if f.p_storage == "bf16" and dt == jnp.float32:
+        P = P.astype(jnp.bfloat16)
     return FilterState(
         x=x,
-        P=jnp.diag(diag),
+        P=P,
         active=jnp.zeros(cap, bool),
         cartesian=jnp.zeros(cap, bool),
         times_predicted=jnp.zeros(cap, jnp.int32),

@@ -1,0 +1,68 @@
+"""bf16 covariance-storage fast mode (FilterConfig.p_storage="bf16").
+
+Not a parity mode: the golden 1e-6 guarantees hold only for f32/f64
+storage. These tests pin down what the fast mode DOES promise — finite,
+filter-consistent behavior tracking the f32 run."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ekf_slam_tpu.config import EngineConfig, FilterConfig, MapConfig, SimConfig
+from ekf_slam_tpu.filter import engine
+from ekf_slam_tpu.filter.state import init_state
+from ekf_slam_tpu.sim import simulate
+
+
+def _cfg(p_storage):
+    return EngineConfig(
+        filter=FilterConfig(p_storage=p_storage),
+        map=MapConfig(capacity=40, min_features_in_image=16,
+                      max_new_per_step=16),
+        sim=SimConfig(num_landmarks=48),
+        dtype="float32")
+
+
+def _run(cfg, frames=12):
+    scn, xs, obs = simulate(jax.random.key(0), cfg, frames)
+    st = engine.bootstrap(init_state(cfg),
+                          jax.tree.map(lambda a: a[0], obs), cfg)
+    final, traj, infos = jax.jit(
+        engine.run_sequence, static_argnames="cfg")(
+        st, obs, jax.random.key(1), cfg)
+    return xs, final, traj, infos
+
+
+def test_bf16_storage_finite_and_tracks_f32():
+    cfg16 = _cfg("bf16")
+    xs, final16, traj16, _ = _run(cfg16)
+    assert final16.P.dtype == jnp.bfloat16          # storage really halved
+    assert bool(jnp.all(jnp.isfinite(traj16)))
+    assert bool(jnp.all(jnp.isfinite(final16.P.astype(jnp.float32))))
+
+    _, final32, traj32, _ = _run(_cfg("f32"))
+    err16 = np.linalg.norm(np.asarray(traj16[:, :3] - xs[:, :3]), axis=-1)
+    err32 = np.linalg.norm(np.asarray(traj32[:, :3] - xs[:, :3]), axis=-1)
+    # Fast mode must stay in the same accuracy class as the f32 filter
+    # (identical RANSAC draws; only covariance rounding differs).
+    assert err16.mean() < max(2.0 * err32.mean(), 0.05)
+    # Covariance stays symmetric-PSD-ish: diagonal non-negative.
+    diag = np.asarray(jnp.diagonal(final16.P.astype(jnp.float32)))
+    assert (diag >= -1e-3).all()
+
+
+def test_bf16_storage_vmap_and_fused_gate():
+    cfg16 = _cfg("bf16")
+    # The Pallas mega-kernel path requires f32 storage — auto must gate off.
+    assert not engine._use_fused(dataclasses.replace(
+        cfg16, filter=dataclasses.replace(cfg16.filter, fused_step="auto")))
+    scn, xs, obs = simulate(jax.random.key(2), cfg16, 3)
+    st = engine.bootstrap(init_state(cfg16),
+                          jax.tree.map(lambda a: a[0], obs), cfg16)
+    stb = jax.tree.map(lambda a: jnp.broadcast_to(a, (3,) + a.shape), st)
+    keys = jax.random.split(jax.random.key(3), 3)
+    final, traj, _ = jax.vmap(
+        lambda s, k: engine.run_sequence(s, obs, k, cfg16))(stb, keys)
+    assert bool(jnp.all(jnp.isfinite(traj)))
