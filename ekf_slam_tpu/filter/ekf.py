@@ -85,16 +85,19 @@ def predict(x: jnp.ndarray, P: jnp.ndarray, cfg: FilterConfig):
     F = motion.dfv_by_dxv(xv, cfg)
     Q = motion.process_noise(xv, cfg)
 
-    # P⁻ = [F P₁₁ Fᵀ + Q , F P₁ₘ ; Pₘ₁ Fᵀ , Pₘₘ] — assembled with concat
-    # (one output materialization) instead of repeated .at[].set copies.
-    Pf = p_compute(P)
-    top = F @ Pf[:CAM_DIM, :]                      # (13, D)
+    # P⁻ = [F P₁₁ Fᵀ + Q , F P₁ₘ ; Pₘ₁ Fᵀ , Pₘₘ]: only 13 rows + 13 cols
+    # of P change, so write them as dynamic_update_slice STRIPES into the
+    # (dead) input buffer. The previous concat assembly lowered to THREE
+    # full-P pad+add materializations on TPU (optimized-HLO finding,
+    # docs/BENCH.md round 2); this form touches 26/613 of the matrix.
+    top = F @ p_compute(P[:CAM_DIM, :])            # (13, D): 13-row read
     top = jnp.concatenate(
         [top[:, :CAM_DIM] @ F.T + Q, top[:, CAM_DIM:]], axis=1)
-    bottom = jnp.concatenate(
-        [top[:, CAM_DIM:].T, Pf[CAM_DIM:, CAM_DIM:]], axis=1)
-    P_pred = jnp.concatenate([top, bottom], axis=0)
-    return x_pred, p_store(P_pred, P)
+    sdt = P.dtype
+    P_pred = jax.lax.dynamic_update_slice(P, top.astype(sdt), (0, 0))
+    P_pred = jax.lax.dynamic_update_slice(
+        P_pred, top[:, CAM_DIM:].T.astype(sdt), (CAM_DIM, 0))
+    return x_pred, P_pred
 
 
 @f32_matmuls

@@ -62,6 +62,8 @@ class ManageParams(NamedTuple):
     E6: jnp.ndarray        # (6, D) one-hot rows of the converted slot
     U6: jnp.ndarray        # (6, D) replacement rows (masked)
     C66: jnp.ndarray       # (6, 6) replacement diagonal block
+    slot: jnp.ndarray      # () int32 — converted slot (0 when do=False)
+    do: jnp.ndarray        # () bool — a conversion happened
     state: FilterState     # x/masks/counters managed; P untouched
 
 
@@ -336,11 +338,31 @@ def manage(state: FilterState, cfg: EngineConfig) -> FilterState:
 
 @ekf.f32_matmuls
 def apply_manage_P(P: jnp.ndarray, p: ManageParams) -> jnp.ndarray:
-    """XLA apply of the ManageParams low-rank form: one P read + write."""
-    contrib = p.E6.T @ p.U6
-    out = (ekf.p_compute(P) * (p.keep_f[:, None] * p.keep_f[None, :])
-           + contrib + contrib.T + p.E6.T @ p.C66 @ p.E6)
-    return ekf.p_store(out, P)
+    """XLA apply of the ManageParams transform: one elementwise keep-mask
+    pass over P plus 6-row/6-col/6x6 STRIPE writes for the (at most one)
+    conversion. Equivalent to the low-rank form P' = M∘P + E6ᵀU6 + U6ᵀE6
+    + E6ᵀC66E6 — the conversion contribution has support exactly on the
+    converted slot's rows/cols, and the keep mask zeroes that stripe
+    first, so add == replace. The dot form lowered to full-P layout-
+    transpose copies on TPU (optimized-HLO finding, docs/BENCH.md r2);
+    stripes touch 12/613 of the matrix. When do=False the stripes
+    rewrite the current (masked) values — a no-op by value."""
+    D = P.shape[0]
+    dtv = P.dtype
+    out = ekf.p_store(
+        ekf.p_compute(P) * (p.keep_f[:, None] * p.keep_f[None, :]), P)
+    off = (CAM_DIM + 6 * p.slot).astype(jnp.int32)
+    z = jnp.zeros((), jnp.int32)
+    do = p.do
+    cur_rows = jax.lax.dynamic_slice(out, (off, z), (6, D))
+    rows = jnp.where(do, p.U6.astype(dtv), cur_rows)
+    out = jax.lax.dynamic_update_slice(out, rows, (off, z))
+    cur_cols = jax.lax.dynamic_slice(out, (z, off), (D, 6))
+    cols = jnp.where(do, p.U6.T.astype(dtv), cur_cols)
+    out = jax.lax.dynamic_update_slice(out, cols, (z, off))
+    cur66 = jax.lax.dynamic_slice(out, (off, off), (6, 6))
+    diag = jnp.where(do, p.C66.astype(dtv), cur66)
+    return jax.lax.dynamic_update_slice(out, diag, (off, off))
 
 
 @ekf.f32_matmuls
@@ -437,6 +459,7 @@ def _convert_params(state: FilterState, cfg: EngineConfig,
 
     return ManageParams(
         keep_f=keep_f, E6=E6, U6=rows_masked, C66=diag66,
+        slot=slot.astype(jnp.int32), do=do,
         state=state.replace(
             x=x_new, cartesian=state.cartesian | (onehot > 0)))
 
