@@ -39,6 +39,18 @@ import os
 # promoted if tools/check_tpu_numerics.py stays clean.
 _COV_PRECISION = os.environ.get("EKF_COV_PRECISION", "float32")
 
+# A/B knob for the stripe-vs-full-pass P write-backs (mathematically
+# identical forms, different TPU lowering): "all" = stripe predict/manage
+# AND stripe feature-add, "mgmt" = stripe predict/manage only, "none" =
+# round-1 concat/low-rank full-pass forms.
+_STRIPES = os.environ.get("EKF_STRIPES", "all")
+
+# Compact-update P·Hᵀ form: "rows" computes (Hc P)ᵀ from a 13-cam-row +
+# M-slot-stripe row gather of the SYMMETRIC P (one natural-layout partial
+# read), "dense" does the full P @ Hcᵀ dot (multi-pass under f32-accurate
+# precision, plus a layout copy on TPU).
+_PHT_FORM = os.environ.get("EKF_PHT", "rows")
+
 
 def p_compute(P: jnp.ndarray) -> jnp.ndarray:
     """Storage -> compute view of the covariance: a bfloat16-stored P
@@ -93,6 +105,12 @@ def predict(x: jnp.ndarray, P: jnp.ndarray, cfg: FilterConfig):
     top = F @ p_compute(P[:CAM_DIM, :])            # (13, D): 13-row read
     top = jnp.concatenate(
         [top[:, :CAM_DIM] @ F.T + Q, top[:, CAM_DIM:]], axis=1)
+    if _STRIPES == "none":
+        Pf = p_compute(P)
+        bottom = jnp.concatenate(
+            [top[:, CAM_DIM:].T, Pf[CAM_DIM:, CAM_DIM:]], axis=1)
+        return x_pred, p_store(
+            jnp.concatenate([top, bottom], axis=0), P)
     sdt = P.dtype
     P_pred = jax.lax.dynamic_update_slice(P, top.astype(sdt), (0, 0))
     P_pred = jax.lax.dynamic_update_slice(

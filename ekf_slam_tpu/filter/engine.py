@@ -351,8 +351,13 @@ def _masked_update(x, P, H_xv, H_y, z, h, slot_mask, cfg: EngineConfig,
     sel = jnp.argsort(~slot_mask)[:M]          # inlier slots first (stable)
     sel_mask = slot_mask[sel]
     H = measurement.compact_dense_H(H_xv[sel], H_y[sel], sel, sel_mask, cap)
-    PHt = None if pht_all is None else \
-        pht_all[:, sel, :].reshape(P.shape[0], 2 * M)
+    if pht_all is not None:
+        PHt = pht_all[:, sel, :].reshape(P.shape[0], 2 * M)
+    elif ekf._PHT_FORM == "rows":
+        PHt = measurement.pht_compact_rows(P, H_xv[sel], H_y[sel], sel,
+                                           sel_mask)
+    else:
+        PHt = None                              # dense P @ Hᵀ in update_gain
     return ekf.update(
         x, P, H, z[sel].reshape(-1), h[sel].reshape(-1),
         jnp.repeat(sel_mask, 2), jnp.ones(2 * M, x.dtype),

@@ -168,20 +168,54 @@ def add_features_batch(state: FilterState, uvd: jnp.ndarray,
 
     Returns (state, assigned (K,) int32 slot per candidate, -1 if skipped).
     """
-    Pf = ekf.p_compute(state.P)
-    p, assigned = add_params(Pf[:CAM_DIM, :], state, uvd, cand_mask,
-                             lm_ids, cfg)
-    # --- scatter-free write-back --------------------------------------------
-    # Dynamic scatters into P (especially along columns) serialize on TPU
-    # (measured: 116 ms of a 241 ms step at B=512), and (D, D)-sized select
-    # operands cost full-P passes each. Additive LOW-RANK form instead:
-    #   P' = P·maskᵢmaskⱼ + Eᵀ R̃ + (Eᵀ R̃)ᵀ + Eᵀ C E — MXU matmuls whose
-    # outputs XLA fuses into one read + one write of P (or zero extra
-    # passes when fused into the HI-tail kernel).
-    contrib = p.E.T @ p.U
-    P = (Pf * (p.keep_f[:, None] * p.keep_f[None, :])
-         + contrib + contrib.T + p.E.T @ p.C @ p.E)
-    return p.state.replace(P=ekf.p_store(P, state.P)), assigned
+    p, assigned = add_params(ekf.p_compute(state.P[:CAM_DIM, :]), state,
+                             uvd, cand_mask, lm_ids, cfg)
+    # --- stripe write-back ---------------------------------------------------
+    # The add only touches the K assigned slots' rows/cols (inactive slots'
+    # stripes are already zero: fresh slots start zero, deletes zero theirs
+    # in manage). Writing them as dynamic_update_slice stripes costs NO
+    # full-P pass; the round-1 low-rank dot form (P' = M∘P + EᵀU + UᵀE +
+    # EᵀCE, kept for the fused kernels) paid a full read+write plus a
+    # layout-transpose copy of P on TPU (docs/BENCH.md r2). Row content:
+    # U_k (cross-covariances to old dims; new columns zeroed in U) with
+    # the C blocks filled in at every assigned slot's columns — exactly
+    # the EᵀU/EᵀCE support, so the results are identical.
+    if ekf._STRIPES != "all":
+        Pf = ekf.p_compute(state.P)
+        contrib = p.E.T @ p.U
+        Pn = (Pf * (p.keep_f[:, None] * p.keep_f[None, :])
+              + contrib + contrib.T + p.E.T @ p.C @ p.E)
+        return p.state.replace(P=ekf.p_store(Pn, state.P)), assigned
+    return p.state.replace(
+        P=_apply_add_stripes(state.P, p, assigned)), assigned
+
+
+def _apply_add_stripes(P: jnp.ndarray, p: AddParams,
+                       assigned: jnp.ndarray) -> jnp.ndarray:
+    K = assigned.shape[0]
+    D = P.shape[0]
+    dtv = P.dtype
+    z = jnp.zeros((), jnp.int32)
+    out = P
+    for k in range(K):
+        ok = assigned[k] >= 0
+        off = (CAM_DIM + 6 * jnp.maximum(assigned[k], 0)).astype(jnp.int32)
+        rows = p.U[6 * k:6 * k + 6]                          # (6, D)
+        for j in range(K):
+            okj = assigned[j] >= 0
+            offj = (CAM_DIM + 6 * jnp.maximum(assigned[j], 0)
+                    ).astype(jnp.int32)
+            blk = p.C[6 * k:6 * k + 6, 6 * j:6 * j + 6]
+            curb = jax.lax.dynamic_slice(rows, (z, offj), (6, 6))
+            rows = jax.lax.dynamic_update_slice(
+                rows, jnp.where(okj, blk, curb), (z, offj))
+        cur_rows = jax.lax.dynamic_slice(out, (off, z), (6, D))
+        out = jax.lax.dynamic_update_slice(
+            out, jnp.where(ok, rows.astype(dtv), cur_rows), (off, z))
+        cur_cols = jax.lax.dynamic_slice(out, (z, off), (D, 6))
+        out = jax.lax.dynamic_update_slice(
+            out, jnp.where(ok, rows.T.astype(dtv), cur_cols), (z, off))
+    return out
 
 
 def add_params(P_cam_rows: jnp.ndarray, state: FilterState,
@@ -347,6 +381,11 @@ def apply_manage_P(P: jnp.ndarray, p: ManageParams) -> jnp.ndarray:
     transpose copies on TPU (optimized-HLO finding, docs/BENCH.md r2);
     stripes touch 12/613 of the matrix. When do=False the stripes
     rewrite the current (masked) values — a no-op by value."""
+    if ekf._STRIPES == "none":
+        contrib = p.E6.T @ p.U6
+        return ekf.p_store(
+            ekf.p_compute(P) * (p.keep_f[:, None] * p.keep_f[None, :])
+            + contrib + contrib.T + p.E6.T @ p.C66 @ p.E6, P)
     D = P.shape[0]
     dtv = P.dtype
     out = ekf.p_store(

@@ -233,6 +233,30 @@ def pht_slots(P: jnp.ndarray, H_xv: jnp.ndarray,
             + jnp.einsum("dcj,cij->dci", Py, H_y))
 
 
+def pht_compact_rows(P: jnp.ndarray, H_xv_sel: jnp.ndarray,
+                     H_y_sel: jnp.ndarray, sel: jnp.ndarray,
+                     sel_mask: jnp.ndarray) -> jnp.ndarray:
+    """P Hcᵀ (D, 2M) for the gathered compact update via the SYMMETRIC row
+    form P Hcᵀ = (Hc P)ᵀ: Hc's support is the 13 camera rows plus the M
+    selected slots' 6-row stripes of P, so Hc P is a natural-layout
+    partial row read ((13+6M)/D of the matrix) instead of a dense
+    multi-pass P @ Hcᵀ dot (which also paid a full-P layout-transpose
+    copy on TPU — docs/BENCH.md r2). The final transpose is of the small
+    (2M, D) product. Identical math; P must be symmetric (it is: every
+    producer symmetrizes)."""
+    from ekf_slam_tpu.filter.ekf import p_compute
+    D = P.shape[0]
+    M = sel.shape[0]
+    cam = p_compute(P[:CAM_DIM, :])                        # (13, D)
+    cap = (D - CAM_DIM) // 6
+    slot_rows = p_compute(
+        P[CAM_DIM:, :].reshape(cap, 6, D)[sel])            # (M, 6, D)
+    hp = (jnp.einsum("mik,kd->mid", H_xv_sel, cam)
+          + jnp.einsum("mij,mjd->mid", H_y_sel, slot_rows))
+    hp = hp * sel_mask[:, None, None].astype(hp.dtype)
+    return hp.reshape(2 * M, D).T
+
+
 def compact_dense_H(H_xv: jnp.ndarray, H_y: jnp.ndarray,
                     slots: jnp.ndarray, row_mask: jnp.ndarray,
                     cap: int) -> jnp.ndarray:

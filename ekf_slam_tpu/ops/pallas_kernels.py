@@ -58,9 +58,12 @@ def _kernel(Pij_ref, K_ref, PHt_ref, Jq_ref, out_ref):
 
     @pl.when(i == 0)
     def _():
-        stripe = jnp.dot(EQ.T, out, preferred_element_type=jnp.float32)
-        stripe = jnp.dot(Jq, stripe, preferred_element_type=jnp.float32)
-        expanded = jnp.dot(EQ, stripe, preferred_element_type=jnp.float32)
+        stripe = jnp.dot(EQ.T, out, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        stripe = jnp.dot(Jq, stripe, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        expanded = jnp.dot(EQ, stripe, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
         out_ref[:] = jnp.where(stripe_mask_r, expanded, out)
 
     @pl.when(i != 0)
@@ -70,9 +73,12 @@ def _kernel(Pij_ref, K_ref, PHt_ref, Jq_ref, out_ref):
     @pl.when(j == 0)
     def _():
         cur = out_ref[:]
-        stripe = jnp.dot(cur, EQ, preferred_element_type=jnp.float32)
-        stripe = jnp.dot(stripe, Jq.T, preferred_element_type=jnp.float32)
-        expanded = jnp.dot(stripe, EQ.T, preferred_element_type=jnp.float32)
+        stripe = jnp.dot(cur, EQ, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        stripe = jnp.dot(stripe, Jq.T, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        expanded = jnp.dot(stripe, EQ.T, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
         col_mask = jax.lax.broadcasted_iota(
             jnp.int32, (TILE, TILE), 1) < 8
         out_ref[:] = jnp.where(col_mask, expanded, cur)
@@ -233,7 +239,8 @@ def _dot3(a, b):
     b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
     def d(x, y):
-        return jnp.dot(x, y, preferred_element_type=jnp.float32)
+        return jnp.dot(x, y, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
 
     return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
 
