@@ -233,6 +233,7 @@ def pht_slots(P: jnp.ndarray, H_xv: jnp.ndarray,
             + jnp.einsum("dcj,cij->dci", Py, H_y))
 
 
+@_f32_matmuls
 def pht_compact_rows(P: jnp.ndarray, H_xv_sel: jnp.ndarray,
                      H_y_sel: jnp.ndarray, sel: jnp.ndarray,
                      sel_mask: jnp.ndarray) -> jnp.ndarray:
