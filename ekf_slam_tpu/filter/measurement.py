@@ -215,6 +215,24 @@ def dense_Ht(H_xv: jnp.ndarray, H_y: jnp.ndarray,
 
 
 @_f32_matmuls
+def pht_slots_rows(P: jnp.ndarray, H_xv: jnp.ndarray,
+                   H_y: jnp.ndarray) -> jnp.ndarray:
+    """Transposed per-slot gain columns (CAP, 2, D) = Hᵢ P for every slot,
+    via the symmetric row form (see pht_compact_rows): 13 camera rows feed
+    one small matmul, each slot's own 6-row stripe feeds a batched (2,6)x
+    (6,D) product — ONE natural-layout full-P read, no transposed-layout
+    copy. pht_slots' column-major result equals this swapped to
+    (D, CAP, 2)."""
+    cap = H_xv.shape[0]
+    D = P.shape[0]
+    from ekf_slam_tpu.filter.ekf import p_compute
+    cam = p_compute(P[:CAM_DIM, :])                        # (13, D)
+    slot_rows = p_compute(P[CAM_DIM:, :]).reshape(cap, 6, D)
+    return (jnp.einsum("cik,kd->cid", H_xv, cam)
+            + jnp.einsum("cij,cjd->cid", H_y, slot_rows))
+
+
+@_f32_matmuls
 def pht_slots(P: jnp.ndarray, H_xv: jnp.ndarray,
               H_y: jnp.ndarray) -> jnp.ndarray:
     """P Hᵢᵀ for every slot, exploiting H's two-block sparsity: one P read

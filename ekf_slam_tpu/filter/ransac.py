@@ -85,8 +85,17 @@ def run(x: jnp.ndarray, P: jnp.ndarray, z: jnp.ndarray, h: jnp.ndarray,
     nhyp = cfg.ransac.num_hypotheses
     thr = cfg.filter.sigma_z  # RANSAC threshold = std_z (ransac_hypotheses.m:6)
 
+    from ekf_slam_tpu.filter import ekf as _ekf
     from ekf_slam_tpu.filter import measurement
-    PHt_slots = measurement.pht_slots(P, H_xv, H_y) if pht is None else pht
+    if pht is None and _ekf._PHT_FORM == "rows":
+        # Symmetric row form: one natural-layout P read, no transposed-
+        # layout copy of P (measurement.pht_slots_rows). (CAP, 2, D).
+        phtT = measurement.pht_slots_rows(P, H_xv, H_y)
+        col = lambda slot: phtT[slot].T                   # (D, 2)
+    else:
+        PHt_slots = measurement.pht_slots(P, H_xv, H_y) if pht is None \
+            else pht
+        col = lambda slot: PHt_slots[:, slot, :]
 
     picks = sample_ic_indices(key, ic_mask, nhyp)         # (NHYP,)
 
@@ -94,7 +103,7 @@ def run(x: jnp.ndarray, P: jnp.ndarray, z: jnp.ndarray, h: jnp.ndarray,
         nu = z[slot] - h[slot]                            # (2,)
         # K (z−h) = PHtᵢ · Sᵢ⁻¹ ν — state-only 1-match update
         w = association._solve_2x2(S[slot], nu)           # S⁻¹ ν (2,)
-        x_hyp = x + PHt_slots[:, slot, :] @ w
+        x_hyp = x + col(slot) @ w
         h_all = support_projection(x_hyp, cartesian, cfg)
         res2 = jnp.sum((z - h_all) ** 2, axis=-1)
         inlier = ic_mask & (res2 < thr * thr)
