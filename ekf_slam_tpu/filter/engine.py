@@ -107,12 +107,26 @@ def step_core(state: FilterState, z: jnp.ndarray, z_valid: jnp.ndarray,
     ground-truth association (sim path, `step`) or by the image front-end
     (vision/frontend.py). Returns (state, visible, ic, StepInfo)."""
     # -- 1. map management (delete + one reparametrization, fused) -----------
-    state = mapman.manage(state, cfg)
+    if "manage" not in _ABLATE:
+        state = mapman.manage(state, cfg)
 
     # -- 2. EKF prediction ----------------------------------------------------
-    x_prior, P_prior = ekf.predict(state.x, state.P, cfg.filter)
+    if "predict" in _ABLATE:
+        x_prior, P_prior = state.x, state.P
+    else:
+        x_prior, P_prior = ekf.predict(state.x, state.P, cfg.filter)
     return step_core_from_prior(
         state, x_prior, P_prior, z, z_valid, key, cfg)
+
+
+import os as _os
+
+# Attribution-only knob (tools/, docs/BENCH.md): comma list of stages to
+# skip inside step_core_from_prior — "ransac", "li", "hi", "lin2", "s1".
+# Never set in production; the bench harness is the only reliable timing
+# methodology on the tunneled backend, so ablation must run THROUGH it.
+_ABLATE = frozenset(
+    s for s in _os.environ.get("EKF_ABLATE", "").split(",") if s)
 
 
 def step_core_from_prior(state: FilterState, x_prior: jnp.ndarray,
@@ -128,7 +142,11 @@ def step_core_from_prior(state: FilterState, x_prior: jnp.ndarray,
 
     # -- 3. measurement prediction + IC gating (search_IC_matches/matching) --
     h, visible, H_xv, H_y = _linearize(x_prior, P_prior, state, cfg)[:4]
-    S = measurement.innovation_covariances(P_prior, H_xv, H_y, f.sigma_z)
+    if "s1" in _ABLATE:
+        S = jnp.broadcast_to(jnp.eye(2, dtype=x_prior.dtype) * 4.0,
+                             (cap, 2, 2))
+    else:
+        S = measurement.innovation_covariances(P_prior, H_xv, H_y, f.sigma_z)
     ic = association.individually_compatible(z, z_valid, h, visible, S, cfg)
 
     # -- 4. 1-point RANSAC → LI inliers ---------------------------------------
@@ -141,14 +159,19 @@ def step_core_from_prior(state: FilterState, x_prior: jnp.ndarray,
     vm = visible.astype(H_xv.dtype)[:, None, None]
     pht_all = measurement.pht_slots(P_prior, H_xv * vm, H_y * vm) \
         if f.share_pht else None
-    li, support = ransac.run(
-        x_prior, P_prior, z, h, H_xv * vm, H_y * vm, S, ic,
-        state.cartesian, key, cfg, pht=pht_all)
+    if "ransac" in _ABLATE:
+        li, support = ic, jnp.sum(ic)
+    else:
+        li, support = ransac.run(
+            x_prior, P_prior, z, h, H_xv * vm, H_y * vm, S, ic,
+            state.cartesian, key, cfg, pht=pht_all)
 
     # -- 5. LI update from the prior (ekf_update_li_inliers.m; R = I there).
     # With use_iterated_update the LI step relinearizes (Gauss-Newton IEKF,
     # the ekf_update_iterated.m intent).
-    if f.use_iterated_update:
+    if "li" in _ABLATE:
+        x_post, P_post = x_prior, P_prior
+    elif f.use_iterated_update:
         x_post, P_post = _masked_update_iterated(
             x_prior, P_prior, z, li, state, cfg)
     else:
@@ -156,16 +179,22 @@ def step_core_from_prior(state: FilterState, x_prior: jnp.ndarray,
             x_prior, P_prior, H_xv, H_y, z, h, li, cfg, pht_all=pht_all)
 
     # -- 6. HI rescue from the posterior (rescue_hi_inliers.m) ----------------
-    h2, vis2, H_xv2, H_y2 = _linearize(x_post, P_post, state, cfg)[:4]
+    if "lin2" in _ABLATE:
+        h2, vis2, H_xv2, H_y2 = h, visible, H_xv, H_y
+    else:
+        h2, vis2, H_xv2, H_y2 = _linearize(x_post, P_post, state, cfg)[:4]
     S_noR = measurement.innovation_covariances(P_post, H_xv2, H_y2, 0.0)
     hi = association.rescue_high_innovation(z, h2, S_noR, ic & vis2, li, cfg)
 
     # -- 7. HI update from the posterior (ekf_update_hi_inliers.m; R = I) -----
-    vm2 = vis2.astype(H_xv2.dtype)[:, None, None]
-    pht_all2 = measurement.pht_slots(P_post, H_xv2 * vm2, H_y2 * vm2) \
-        if f.share_pht else None
-    x_post, P_post = _masked_update(
-        x_post, P_post, H_xv2, H_y2, z, h2, hi, cfg, pht_all=pht_all2)
+    if "hi" in _ABLATE:
+        pass
+    else:
+        vm2 = vis2.astype(H_xv2.dtype)[:, None, None]
+        pht_all2 = measurement.pht_slots(P_post, H_xv2 * vm2, H_y2 * vm2) \
+            if f.share_pht else None
+        x_post, P_post = _masked_update(
+            x_post, P_post, H_xv2, H_y2, z, h2, hi, cfg, pht_all=pht_all2)
 
     if cfg.debug_nan_checks:
         from ekf_slam_tpu.utils.metrics import check_finite
@@ -194,7 +223,8 @@ def step(state: FilterState, obs: FrameObs, key: jax.Array,
     z, z_valid = gather_measurements(state, obs)
     state, visible, ic, info = step_core(state, z, z_valid, key, cfg)
     # -- 8. feature initialization from the current frame ----------------------
-    state = initialize_features(state, obs, jnp.sum(ic), cfg)
+    if "init" not in _ABLATE:
+        state = initialize_features(state, obs, jnp.sum(ic), cfg)
     return state, info
 
 

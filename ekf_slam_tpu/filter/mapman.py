@@ -187,35 +187,40 @@ def add_features_batch(state: FilterState, uvd: jnp.ndarray,
               + contrib + contrib.T + p.E.T @ p.C @ p.E)
         return p.state.replace(P=ekf.p_store(Pn, state.P)), assigned
     return p.state.replace(
-        P=_apply_add_stripes(state.P, p, assigned)), assigned
+        P=_apply_add_blend(state.P, p, assigned)), assigned
 
 
-def _apply_add_stripes(P: jnp.ndarray, p: AddParams,
-                       assigned: jnp.ndarray) -> jnp.ndarray:
+def _apply_add_blend(P: jnp.ndarray, p: AddParams,
+                     assigned: jnp.ndarray) -> jnp.ndarray:
+    """GATHER-BLEND apply of the batched add (see apply_manage_P): the K
+    new slots' rows/cols/cross-blocks are expressed as elementwise gathers
+    from the small U (6K, D) and C (6K, 6K) operands, fused with the
+    keep-mask pass into ONE full-P read+write — no dot (layout-copy), no
+    per-instance-offset scatter (vmap serialization). U's new-slot columns
+    are zeroed, C carries every new-new block, so row+col+cross gathers
+    reproduce EᵀU + UᵀE + EᵀCE exactly."""
     K = assigned.shape[0]
     D = P.shape[0]
-    dtv = P.dtype
-    z = jnp.zeros((), jnp.int32)
-    out = P
+    idx = jnp.arange(D)
+    # Per-dim owner: u-row index into U (6K rows), or -1 if dim not newly
+    # assigned. K is small/static: K masked selects.
+    uidx = jnp.full(D, -1, jnp.int32)
     for k in range(K):
         ok = assigned[k] >= 0
-        off = (CAM_DIM + 6 * jnp.maximum(assigned[k], 0)).astype(jnp.int32)
-        rows = p.U[6 * k:6 * k + 6]                          # (6, D)
-        for j in range(K):
-            okj = assigned[j] >= 0
-            offj = (CAM_DIM + 6 * jnp.maximum(assigned[j], 0)
-                    ).astype(jnp.int32)
-            blk = p.C[6 * k:6 * k + 6, 6 * j:6 * j + 6]
-            curb = jax.lax.dynamic_slice(rows, (z, offj), (6, 6))
-            rows = jax.lax.dynamic_update_slice(
-                rows, jnp.where(okj, blk, curb), (z, offj))
-        cur_rows = jax.lax.dynamic_slice(out, (off, z), (6, D))
-        out = jax.lax.dynamic_update_slice(
-            out, jnp.where(ok, rows.astype(dtv), cur_rows), (off, z))
-        cur_cols = jax.lax.dynamic_slice(out, (z, off), (D, 6))
-        out = jax.lax.dynamic_update_slice(
-            out, jnp.where(ok, rows.T.astype(dtv), cur_cols), (z, off))
-    return out
+        off = CAM_DIM + 6 * jnp.maximum(assigned[k], 0)
+        r = idx - off
+        in_k = (r >= 0) & (r < 6) & ok
+        uidx = jnp.where(in_k, 6 * k + r.astype(jnp.int32), uidx)
+    owned = uidx >= 0                                       # (D,)
+    ui = jnp.clip(uidx, 0, 6 * K - 1)
+    rowpart = jnp.where(owned[:, None], p.U[ui, :], 0.0)
+    colpart = jnp.where(owned[None, :], p.U.T[:, ui], 0.0)
+    # chained single-axis gathers — see apply_manage_P's diagpart note
+    crosspart = jnp.where(owned[:, None] & owned[None, :],
+                          p.C[ui, :][:, ui], 0.0)
+    out = (ekf.p_compute(P) * (p.keep_f[:, None] * p.keep_f[None, :])
+           + rowpart + colpart + crosspart)
+    return ekf.p_store(out, P)
 
 
 def add_params(P_cam_rows: jnp.ndarray, state: FilterState,
@@ -386,22 +391,28 @@ def apply_manage_P(P: jnp.ndarray, p: ManageParams) -> jnp.ndarray:
         return ekf.p_store(
             ekf.p_compute(P) * (p.keep_f[:, None] * p.keep_f[None, :])
             + contrib + contrib.T + p.E6.T @ p.C66 @ p.E6, P)
+    # GATHER-BLEND form: the conversion contribution has support only on
+    # the converted slot's 6-dim stripe, so express it as elementwise
+    # gathers from the small U6/C66 operands and fuse everything into the
+    # keep-mask pass — one full-P read+write, no dot (which paid a full-P
+    # layout-transpose copy) and no dynamic-offset scatter (which
+    # serializes under vmap: per-instance offsets).
     D = P.shape[0]
-    dtv = P.dtype
-    out = ekf.p_store(
-        ekf.p_compute(P) * (p.keep_f[:, None] * p.keep_f[None, :]), P)
-    off = (CAM_DIM + 6 * p.slot).astype(jnp.int32)
-    z = jnp.zeros((), jnp.int32)
-    do = p.do
-    cur_rows = jax.lax.dynamic_slice(out, (off, z), (6, D))
-    rows = jnp.where(do, p.U6.astype(dtv), cur_rows)
-    out = jax.lax.dynamic_update_slice(out, rows, (off, z))
-    cur_cols = jax.lax.dynamic_slice(out, (z, off), (D, 6))
-    cols = jnp.where(do, p.U6.T.astype(dtv), cur_cols)
-    out = jax.lax.dynamic_update_slice(out, cols, (z, off))
-    cur66 = jax.lax.dynamic_slice(out, (off, off), (6, 6))
-    diag = jnp.where(do, p.C66.astype(dtv), cur66)
-    return jax.lax.dynamic_update_slice(out, diag, (off, off))
+    idx = jnp.arange(D)
+    off = CAM_DIM + 6 * p.slot
+    r = idx - off
+    in_s = (r >= 0) & (r < 6) & p.do                       # (D,) stripe mask
+    ri = jnp.clip(r, 0, 5)
+    rowpart = jnp.where(in_s[:, None], p.U6[ri, :], 0.0)
+    colpart = jnp.where(in_s[None, :], p.U6.T[:, ri], 0.0)
+    # chained single-axis gathers: a 2-D-index gather of shape (D, D)
+    # lowered to a flat-layout monster fusion that DOMINATED the step
+    # (device trace finding, docs/BENCH.md r2)
+    diagpart = jnp.where(in_s[:, None] & in_s[None, :],
+                         p.C66[ri, :][:, ri], 0.0)
+    out = (ekf.p_compute(P) * (p.keep_f[:, None] * p.keep_f[None, :])
+           + rowpart + colpart + diagpart)
+    return ekf.p_store(out, P)
 
 
 @ekf.f32_matmuls

@@ -139,8 +139,10 @@ def test_pose_constraint_pulls_position_and_orientation():
     cfg = EngineConfig()
     st = init_state(cfg)
     # Perturbed current pose, uncertain in position AND orientation.
-    q0 = jnp.array([0.9961947, 0.0, 0.08715574, 0.0])   # 10 deg about y
-    x = st.x.at[0:3].set(jnp.array([0.4, -0.1, 0.2])).at[3:7].set(q0)
+    q0 = jnp.array([0.9961947, 0.0, 0.08715574, 0.0],
+                   jnp.float32)  # 10 deg about y
+    x = st.x.at[0:3].set(jnp.array([0.4, -0.1, 0.2], st.x.dtype)) \
+        .at[3:7].set(q0)
     P = st.P.at[0:3, 0:3].set(jnp.eye(3, dtype=st.P.dtype) * 1.0)
     P = P.at[3:7, 3:7].set(jnp.eye(4, dtype=st.P.dtype) * 0.05)
     pose_j = jnp.zeros(7, st.x.dtype).at[3].set(1.0)     # identity pose
@@ -157,7 +159,7 @@ def test_pose_constraint_pulls_position_and_orientation():
     np.testing.assert_allclose(np.asarray(x3), np.asarray(x), atol=1e-6)
     # Hemisphere safety: -q_j is the same rotation.
     x4, _ = loop_fusion.apply_loop_constraint_pose(
-        x, P, pose_j.at[3:7].set(jnp.array([-1.0, 0, 0, 0])),
+        x, P, pose_j.at[3:7].set(jnp.array([-1.0, 0, 0, 0], pose_j.dtype)),
         0.01, 0.01, jnp.asarray(True))
     np.testing.assert_allclose(np.asarray(x4), np.asarray(x2), atol=1e-5)
     # Noise scaling: inliers tighten the constraint monotonically.
