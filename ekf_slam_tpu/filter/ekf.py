@@ -41,15 +41,20 @@ _COV_PRECISION = os.environ.get("EKF_COV_PRECISION", "float32")
 
 # A/B knob for the stripe-vs-full-pass P write-backs (mathematically
 # identical forms, different TPU lowering): "all" = stripe predict/manage
-# AND stripe feature-add, "mgmt" = stripe predict/manage only, "none" =
-# round-1 concat/low-rank full-pass forms.
-_STRIPES = os.environ.get("EKF_STRIPES", "all")
+# AND gather-blend feature-add, "mgmt" = stripe predict/manage only,
+# "none" = round-1 concat/low-rank full-pass forms. MEASURED (v5e, B=512,
+# BENCH_FUSED=off): none 4277, mgmt(DUS) 3464, all(blend)+rows 2698 —
+# XLA:TPU lowers the dense-dot forms better than any indexed form
+# (per-instance DUS -> scatter; gathers -> slow fusions), so "none" IS
+# the default; the alternatives are kept as documented experiments
+# (docs/BENCH.md round 2).
+_STRIPES = os.environ.get("EKF_STRIPES", "none")
 
 # Compact-update P·Hᵀ form: "rows" computes (Hc P)ᵀ from a 13-cam-row +
-# M-slot-stripe row gather of the SYMMETRIC P (one natural-layout partial
-# read), "dense" does the full P @ Hcᵀ dot (multi-pass under f32-accurate
-# precision, plus a layout copy on TPU).
-_PHT_FORM = os.environ.get("EKF_PHT", "rows")
+# M-slot-stripe row gather of the SYMMETRIC P, "dense" does the full
+# P @ Hcᵀ dot. "dense" measured faster on v5e (same finding as above);
+# "rows" kept for A/B.
+_PHT_FORM = os.environ.get("EKF_PHT", "dense")
 
 
 def p_compute(P: jnp.ndarray) -> jnp.ndarray:
