@@ -103,7 +103,10 @@ def main():
         filter=FilterConfig(
             gain_solver=os.environ.get("BENCH_GAIN", "newton"),
             share_pht=os.environ.get("BENCH_SHARE_PHT", "0") == "1",
-            fused_step=os.environ.get("BENCH_FUSED", "auto"),
+            # default off: the XLA path measures faster than the fused
+            # mega-kernels (4277 vs 4232, docs/BENCH.md r2) and honors
+            # the EKF_* attribution knobs.
+            fused_step=os.environ.get("BENCH_FUSED", "off"),
             p_storage=os.environ.get("BENCH_PSTORE", "f32")),
         map=MapConfig(capacity=cap, min_features_in_image=25,
                       max_new_per_step=10,
