@@ -110,7 +110,7 @@ def predict(x: jnp.ndarray, P: jnp.ndarray, cfg: FilterConfig):
     top = F @ p_compute(P[:CAM_DIM, :])            # (13, D): 13-row read
     top = jnp.concatenate(
         [top[:, :CAM_DIM] @ F.T + Q, top[:, CAM_DIM:]], axis=1)
-    if _STRIPES == "none":
+    if _STRIPES not in ("pred", "mgmt", "all"):
         Pf = p_compute(P)
         bottom = jnp.concatenate(
             [top[:, CAM_DIM:].T, Pf[CAM_DIM:, CAM_DIM:]], axis=1)

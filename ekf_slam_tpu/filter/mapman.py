@@ -386,7 +386,7 @@ def apply_manage_P(P: jnp.ndarray, p: ManageParams) -> jnp.ndarray:
     transpose copies on TPU (optimized-HLO finding, docs/BENCH.md r2);
     stripes touch 12/613 of the matrix. When do=False the stripes
     rewrite the current (masked) values — a no-op by value."""
-    if ekf._STRIPES == "none":
+    if ekf._STRIPES not in ("mgmt", "all"):
         contrib = p.E6.T @ p.U6
         return ekf.p_store(
             ekf.p_compute(P) * (p.keep_f[:, None] * p.keep_f[None, :])
