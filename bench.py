@@ -17,6 +17,12 @@ import json
 import os
 import time
 
+# Fast-mode default precision must be set BEFORE ekf.py is imported (it
+# reads EKF_COV_PRECISION at module load). BENCH_MODE=pixels and explicit
+# env settings override.
+if os.environ.get("BENCH_MODE", "sim") != "pixels":
+    os.environ.setdefault("EKF_COV_PRECISION", "tensorfloat32")
+
 import jax
 import jax.numpy as jnp
 
@@ -97,6 +103,13 @@ def main_pixels():
 def main():
     from ekf_slam_tpu.config import RansacConfig
     cap = int(os.environ.get("BENCH_CAP", "100"))
+    # Default = the PRODUCTION FAST MODE (docs/BENCH.md r2): bf16-P
+    # storage (all algebra still f32), 3-pass-bf16 f32-emulated matmul
+    # precision, update capped at M=48 gathered observations (steady state
+    # tracks ~25-35). Accuracy is gated IN-RUN below: the reported run
+    # must track ground truth, not merely stay finite. The golden
+    # 1e-6-parity configuration is BENCH_PSTORE=f32 EKF_COV_PRECISION=
+    # float32 BENCH_M=64.
     cfg = EngineConfig(
         # newton: Newton-Schulz SPD-inverse gain — pure MXU, tracks the
         # Cholesky gain to f32 accuracy (tests/test_compact_update.py)
@@ -108,10 +121,10 @@ def main():
             # the EKF_* attribution knobs.
             fused_step=os.environ.get("BENCH_FUSED", "off"),
             pallas_update=os.environ.get("BENCH_PALLAS", "auto"),
-            p_storage=os.environ.get("BENCH_PSTORE", "f32")),
+            p_storage=os.environ.get("BENCH_PSTORE", "bf16")),
         map=MapConfig(capacity=cap, min_features_in_image=25,
                       max_new_per_step=10,
-                      max_update_obs=int(os.environ.get("BENCH_M", "64"))),
+                      max_update_obs=int(os.environ.get("BENCH_M", "48"))),
         ransac=RansacConfig(
             num_hypotheses=int(os.environ.get("BENCH_NHYP", "64"))),
         sim=SimConfig(num_landmarks=128),
@@ -150,6 +163,14 @@ def main():
     # precision pinning in filter/ekf.py).
     assert bool(jnp.all(jnp.isfinite(traj))), "non-finite trajectories"
     assert bool(jnp.all(jnp.isfinite(final.P))), "non-finite covariance"
+    # ...and a benchmark of a filter that lost the trajectory is not one
+    # either: the fast mode (bf16-P storage + 3-pass f32-emulated dots)
+    # must still TRACK — mean position error against the simulation's
+    # ground truth bounded well below the scene scale (f32 parity config
+    # measures ~0.05-0.25 on this scenario; divergence is >1).
+    err = float(jnp.mean(jnp.linalg.norm(
+        traj[..., 0:3] - xs[None, :, 0:3], axis=-1)))
+    assert err < 0.5, f"trajectory error {err:.3f} — filter not tracking"
 
     steps_per_sec = BATCH * FRAMES * n_rep / dt
     print(json.dumps({
