@@ -161,16 +161,20 @@ def main():
     # report if the filter diverged (guards against precision regressions —
     # TPU bf16-default matmuls NaNed the covariance before the f32
     # precision pinning in filter/ekf.py).
-    assert bool(jnp.all(jnp.isfinite(traj))), "non-finite trajectories"
-    assert bool(jnp.all(jnp.isfinite(final.P))), "non-finite covariance"
-    # ...and a benchmark of a filter that lost the trajectory is not one
-    # either: the fast mode (bf16-P storage + 3-pass f32-emulated dots)
-    # must still TRACK — mean position error against the simulation's
-    # ground truth bounded well below the scene scale (f32 parity config
-    # measures ~0.05-0.25 on this scenario; divergence is >1).
-    err = float(jnp.mean(jnp.linalg.norm(
-        traj[..., 0:3] - xs[None, :, 0:3], axis=-1)))
-    assert err < 0.5, f"trajectory error {err:.3f} — filter not tracking"
+    # Attribution runs (EKF_ABLATE set) intentionally break the filter
+    # math; the finiteness/accuracy gates only apply to real benchmarks.
+    if not os.environ.get("EKF_ABLATE"):
+        assert bool(jnp.all(jnp.isfinite(traj))), "non-finite trajectories"
+        assert bool(jnp.all(jnp.isfinite(final.P))), "non-finite covariance"
+        # ...and a benchmark of a filter that lost the trajectory is not
+        # one either: the fast mode (bf16-P storage + 3-pass f32-emulated
+        # dots) must still TRACK — mean position error against the
+        # simulation's ground truth bounded well below the scene scale
+        # (f32 parity config measures ~0.05-0.25 on this scenario;
+        # divergence is >1).
+        err = float(jnp.mean(jnp.linalg.norm(
+            traj[..., 0:3] - xs[None, :, 0:3], axis=-1)))
+        assert err < 0.5, f"trajectory error {err:.3f} — not tracking"
 
     steps_per_sec = BATCH * FRAMES * n_rep / dt
     print(json.dumps({

@@ -56,6 +56,17 @@ _STRIPES = os.environ.get("EKF_STRIPES", "none")
 # "rows" kept for A/B.
 _PHT_FORM = os.environ.get("EKF_PHT", "dense")
 
+# Attribution-only sub-update ablation tokens (share the EKF_ABLATE env
+# list with engine.py's stage tokens; docs/BENCH.md methodology — only the
+# real bench harness times reliably on the tunneled backend, so update
+# INTERNALS must also be ablatable through it): "pht" zeroes the P·Hᵀ
+# product (skips its P read), "gain" skips the S⁻¹ solve (W = I),
+# "tail" skips the whole covariance write-back, "renorm" skips the
+# quaternion-renorm covariance correction. bench.py waives its accuracy
+# gates when any token is set; never set in production.
+_ABLATE = frozenset(
+    s for s in os.environ.get("EKF_ABLATE", "").split(",") if s)
+
 
 def p_compute(P: jnp.ndarray) -> jnp.ndarray:
     """Storage -> compute view of the covariance: a bfloat16-stored P
@@ -138,13 +149,18 @@ def update_gain(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray,
     H = H * mask[:, None]
     nu = (z - h) * mask
     r_eff = jnp.where(row_mask, r_diag, jnp.ones_like(r_diag))
-    if PHt is None:
+    if "pht" in _ABLATE:
+        PHt = jnp.zeros((P.shape[0], H.shape[0]), dtype)
+    elif PHt is None:
         PHt = p_compute(P) @ H.T               # (D, M)
     else:
         PHt = PHt * mask[None, :]
     S = H @ PHt + jnp.diag(r_eff)              # (M, M), SPD
-    W = (_spd_inverse_newton(S) if gain_solver == "newton"
-         else _spd_inverse(S))
+    if "gain" in _ABLATE:
+        W = jnp.eye(S.shape[-1], dtype=dtype)
+    else:
+        W = (_spd_inverse_newton(S) if gain_solver == "newton"
+             else _spd_inverse(S))
     K = PHt @ W                                # (D, M)
     return x + K @ nu, K, PHt
 
@@ -170,6 +186,10 @@ def update(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray, z: jnp.ndarray,
     # O(M³) and turns the D-sized work into pure MXU matmuls.
     x_new, K, PHt = update_gain(
         x, P, H, z, h, row_mask, r_diag, gain_solver, PHt)
+    if "tail" in _ABLATE:
+        x_new = x_new.at[3:7].set(
+            x_new[3:7] / jnp.linalg.norm(x_new[3:7]))
+        return x_new, P
     # P ← P − K S Kᵀ = P − K (P Hᵀ)ᵀ, then symmetrize (update.m:13-14) and
     # quaternion renorm (update.m:18-24). The whole covariance tail is
     # HBM-bound; on TPU it runs as ONE fused Pallas pass
@@ -183,7 +203,11 @@ def update(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray, z: jnp.ndarray,
         return x_new, P_new
     P_new = 0.5 * (p_compute(P) - K @ PHt.T)
     P_new = P_new + P_new.T
-    x_new, P_new = _renormalize_quaternion(x_new, P_new)
+    if "renorm" in _ABLATE:
+        x_new = x_new.at[3:7].set(
+            x_new[3:7] / jnp.linalg.norm(x_new[3:7]))
+    else:
+        x_new, P_new = _renormalize_quaternion(x_new, P_new)
     return x_new, p_store(P_new, P)
 
 
