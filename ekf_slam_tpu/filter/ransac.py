@@ -90,26 +90,35 @@ def run(x: jnp.ndarray, P: jnp.ndarray, z: jnp.ndarray, h: jnp.ndarray,
     if pht is None and _ekf._PHT_FORM == "rows":
         # Symmetric row form: one natural-layout P read, no transposed-
         # layout copy of P (measurement.pht_slots_rows). (CAP, 2, D).
-        phtT = measurement.pht_slots_rows(P, H_xv, H_y)
-        col = lambda slot: phtT[slot].T                   # (D, 2)
+        pht2 = measurement.pht_slots_rows(P, H_xv, H_y).reshape(2 * cap, -1)
+        apply_picks = lambda A: jnp.einsum("md,mn->dn", pht2, A)
     else:
         PHt_slots = measurement.pht_slots(P, H_xv, H_y) if pht is None \
             else pht
-        col = lambda slot: PHt_slots[:, slot, :]
+        pht2 = PHt_slots.reshape(-1, 2 * cap)             # (D, 2·CAP)
+        apply_picks = lambda A: pht2 @ A
 
     picks = sample_ic_indices(key, ic_mask, nhyp)         # (NHYP,)
 
-    def one_hypothesis(slot):
-        nu = z[slot] - h[slot]                            # (2,)
-        # K (z−h) = PHtᵢ · Sᵢ⁻¹ ν — state-only 1-match update
-        w = association._solve_2x2(S[slot], nu)           # S⁻¹ ν (2,)
-        x_hyp = x + col(slot) @ w
+    # All NHYP 1-match state updates as ONE matmul: x_hyp_n = x + P Hₙᵀ wₙ
+    # with wₙ = Sₙ⁻¹ νₙ. A (2·CAP, NHYP) scatters each pick's w into its
+    # slot's two columns via a one-hot product — the previous per-pick
+    # gather of (D, 2) gain columns materialized a (NHYP, D, 2) array
+    # whose minor dim 2 pads to 128 lanes on TPU (64x HBM blowup, the #1
+    # op in the optimized HLO, docs/BENCH.md round 2).
+    nu_p = z[picks] - h[picks]                            # (NHYP, 2)
+    w_p = jax.vmap(association._solve_2x2)(S[picks], nu_p)
+    onehot = jax.nn.one_hot(picks, cap, dtype=x.dtype)    # (NHYP, CAP)
+    A = jnp.einsum("nc,nj->cjn", onehot, w_p).reshape(2 * cap, nhyp)
+    x_hyps = x[:, None] + apply_picks(A)                  # (D, NHYP)
+
+    def one_hypothesis(x_hyp):
         h_all = support_projection(x_hyp, cartesian, cfg)
         res2 = jnp.sum((z - h_all) ** 2, axis=-1)
         inlier = ic_mask & (res2 < thr * thr)
         return inlier, jnp.sum(inlier)
 
-    inliers, supports = jax.vmap(one_hypothesis)(picks)   # (NHYP,CAP),(NHYP,)
+    inliers, supports = jax.vmap(one_hypothesis, in_axes=1)(x_hyps)
     best = jnp.argmax(supports)
     any_ic = jnp.any(ic_mask)
     li_mask = inliers[best] & any_ic
