@@ -151,11 +151,11 @@ def step_core_from_prior(state: FilterState, x_prior: jnp.ndarray,
 
     # -- 4. 1-point RANSAC → LI inliers ---------------------------------------
     # share_pht: RANSAC needs the per-slot gain columns P Hᵀ anyway (one
-    # P-read einsum); with the flag on, the SAME (D, CAP, 2) array also
-    # feeds the LI update via a transpose-free slot gather, replacing the
-    # update's dense P @ Hᵀ (which under f32-accurate precision re-reads P
-    # per pass). Round-1's (CAP, D, 2) layout measured slower because every
-    # consumer paid a transposed copy; this layout does not.
+    # P-read einsum); with the flag on, the SAME (D, 2·CAP) array also
+    # feeds the LI update via a transpose-free column gather, replacing
+    # the update's dense P @ Hᵀ (which under f32-accurate precision
+    # re-reads P per pass). Round-1's (CAP, D, 2) layout measured slower
+    # because every consumer paid a transposed copy; this layout does not.
     vm = visible.astype(H_xv.dtype)[:, None, None]
     pht_all = measurement.pht_slots(P_prior, H_xv * vm, H_y * vm) \
         if f.share_pht else None
@@ -364,7 +364,7 @@ def _masked_update(x, P, H_xv, H_y, z, h, slot_mask, cfg: EngineConfig,
     Jacobian — the solve shrinks from 2*CAP to 2M rows; identical result
     whenever the inlier count fits in M (tests/test_compact_update.py).
 
-    pht_all: optional (D, CAP, 2) per-slot gain columns from
+    pht_all: optional (D, 2·CAP) flat slot-major gain columns from
     measurement.pht_slots (same H blocks); saves the dense P@Hᵀ."""
     cap = slot_mask.shape[0]
     M = cfg.map.max_update_obs
@@ -372,17 +372,16 @@ def _masked_update(x, P, H_xv, H_y, z, h, slot_mask, cfg: EngineConfig,
     solver = cfg.filter.gain_solver
     if M <= 0 or M >= cap:
         H = measurement.dense_H(H_xv, H_y, slot_mask)
-        PHt = None if pht_all is None else \
-            pht_all.reshape(P.shape[0], 2 * cap)
         return ekf.update(
             x, P, H, z.reshape(-1), h.reshape(-1), jnp.repeat(slot_mask, 2),
             jnp.ones(2 * cap, x.dtype), use_pallas=use_pallas,
-            gain_solver=solver, PHt=PHt)
+            gain_solver=solver, PHt=pht_all)
     sel = jnp.argsort(~slot_mask)[:M]          # inlier slots first (stable)
     sel_mask = slot_mask[sel]
     H = measurement.compact_dense_H(H_xv[sel], H_y[sel], sel, sel_mask, cap)
     if pht_all is not None:
-        PHt = pht_all[:, sel, :].reshape(P.shape[0], 2 * M)
+        cols = (2 * sel[:, None] + jnp.arange(2)).reshape(-1)
+        PHt = pht_all[:, cols]                 # (D, 2M) column gather
     elif ekf._PHT_FORM == "rows":
         PHt = measurement.pht_compact_rows(P, H_xv[sel], H_y[sel], sel,
                                            sel_mask)

@@ -238,17 +238,21 @@ def pht_slots(P: jnp.ndarray, H_xv: jnp.ndarray,
     """P Hᵢᵀ for every slot, exploiting H's two-block sparsity: one P read
     and two short-contraction einsums instead of the dense (D, 2·CAP)
     product (which under f32-accurate matmul precision re-reads P three
-    times). Returns (D, CAP, 2) — D-major so a slot gather
-    `out[:, sel, :].reshape(D, 2M)` needs NO transpose (the round-1
-    (CAP, D, 2) layout paid a full transposed copy per consumer). Rows are
-    masked by whatever mask was already applied to H_xv/H_y."""
+    times). Returns (D, 2·CAP) flat slot-major (column 2c+j = slot c,
+    pixel component j): the flat layout keeps the TPU minor dims large —
+    a (D, CAP, 2) result carries a minor dim of 2 that pads to 128 lanes
+    (≈64x HBM blowup whenever it materializes; optimized-HLO finding,
+    docs/BENCH.md round 2) — and column gathers `out[:, cols]` replace
+    slot gathers with NO transpose. Rows are masked by whatever mask was
+    already applied to H_xv/H_y."""
     from ekf_slam_tpu.filter.ekf import p_compute
     P = p_compute(P)
     cap = H_xv.shape[0]
     P1 = P[:, :CAM_DIM]                                    # (D, 13)
     Py = P[:, CAM_DIM:].reshape(P.shape[0], cap, 6)        # (D, CAP, 6)
-    return (jnp.einsum("dk,cik->dci", P1, H_xv)
+    out3 = (jnp.einsum("dk,cik->dci", P1, H_xv)
             + jnp.einsum("dcj,cij->dci", Py, H_y))
+    return out3.reshape(P.shape[0], 2 * cap)
 
 
 @_f32_matmuls

@@ -78,7 +78,7 @@ def run(x: jnp.ndarray, P: jnp.ndarray, z: jnp.ndarray, h: jnp.ndarray,
     x, P: prior state/covariance. z/h/S: per-slot measurements, predictions
     and innovation covariances from the prior. H_xv (CAP,2,13) / H_y
     (CAP,2,6): per-slot Jacobian blocks. ic_mask: IC slots. pht: optional
-    precomputed per-slot gain columns (D, CAP, 2) — the engine shares one
+    precomputed per-slot gain columns (D, 2·CAP) — the engine shares one
     measurement.pht_slots result between RANSAC and the LI update.
     """
     cap = ic_mask.shape[0]
@@ -93,9 +93,8 @@ def run(x: jnp.ndarray, P: jnp.ndarray, z: jnp.ndarray, h: jnp.ndarray,
         pht2 = measurement.pht_slots_rows(P, H_xv, H_y).reshape(2 * cap, -1)
         apply_picks = lambda A: jnp.einsum("md,mn->dn", pht2, A)
     else:
-        PHt_slots = measurement.pht_slots(P, H_xv, H_y) if pht is None \
-            else pht
-        pht2 = PHt_slots.reshape(-1, 2 * cap)             # (D, 2·CAP)
+        pht2 = measurement.pht_slots(P, H_xv, H_y) if pht is None \
+            else pht                                      # (D, 2·CAP)
         apply_picks = lambda A: pht2 @ A
 
     picks = sample_ic_indices(key, ic_mask, nhyp)         # (NHYP,)

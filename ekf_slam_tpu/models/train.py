@@ -195,14 +195,20 @@ def find_best_checkpoint(ckpt_dir: str, template: TrainState, eval_fn):
 # ----------------------------------------------------------------- checkpoint
 
 def save_checkpoint(path: str, state: TrainState):
-    """Orbax checkpoint (the Estimator ckpt equivalent, utils.py:563-566)."""
+    """Orbax checkpoint (the Estimator ckpt equivalent, utils.py:563-566).
+    Orbax rejects relative paths; absolutize so fit()'s periodic saves
+    work with a relative ckpt_dir."""
+    import os as _os
+
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, state)
+    ckptr.save(_os.path.abspath(path), state)
     ckptr.wait_until_finished()
 
 
 def restore_checkpoint(path: str, template: TrainState) -> TrainState:
+    import os as _os
+
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, template)
+    return ckptr.restore(_os.path.abspath(path), template)
