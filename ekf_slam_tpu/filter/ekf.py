@@ -42,13 +42,15 @@ _COV_PRECISION = os.environ.get("EKF_COV_PRECISION", "float32")
 # A/B knob for the stripe-vs-full-pass P write-backs (mathematically
 # identical forms, different TPU lowering): "all" = stripe predict/manage
 # AND gather-blend feature-add, "mgmt" = stripe predict/manage only,
-# "none" = round-1 concat/low-rank full-pass forms. MEASURED (v5e, B=512,
-# BENCH_FUSED=off): none 4277, mgmt(DUS) 3464, all(blend)+rows 2698 —
-# XLA:TPU lowers the dense-dot forms better than any indexed form
-# (per-instance DUS -> scatter; gathers -> slow fusions), so "none" IS
-# the default; the alternatives are kept as documented experiments
-# (docs/BENCH.md round 2).
-_STRIPES = os.environ.get("EKF_STRIPES", "none")
+# "pred" = STATIC-offset predict stripes only (no per-instance offsets,
+# so no vmap scatter serialization), "none" = round-1 concat/low-rank
+# full-pass forms. MEASURED (v5e, B=512, BENCH_FUSED=off): none 4277,
+# mgmt(DUS) 3464, all(blend)+rows 2698 — XLA:TPU lowers dense-dot forms
+# better than any PER-INSTANCE indexed form (dynamic DUS -> scatter;
+# gathers -> slow fusions). "pred" is the default: the concat predict
+# lowers to full-P pad+maximum chains while static stripes touch
+# 26/613 rows (optimized-HLO finding, docs/BENCH.md round 2).
+_STRIPES = os.environ.get("EKF_STRIPES", "pred")
 
 # Compact-update P·Hᵀ form: "rows" computes (Hc P)ᵀ from a 13-cam-row +
 # M-slot-stripe row gather of the SYMMETRIC P, "dense" does the full
@@ -261,13 +263,17 @@ def _renormalize_quaternion(x: jnp.ndarray, P: jnp.ndarray):
     """q ← q/|q| with covariance correction P ← T P Tᵀ, T = I except the
     4x4 normJac block on the quaternion rows/cols (update.m:18-24).
 
-    Concat-based row/col replacement (static slices) instead of .at[] sets:
-    fuses with the caller's downdate instead of forcing full-P copies."""
+    Written as T = I + Δ (Δ = normJac − I on the quaternion rows): two
+    STATIC-offset stripe adds touch only 4 rows + 4 cols of P. The
+    previous concat-based row/col replacement lowered every concatenate
+    to full-P pad+maximum chains on TPU (~3 full-P materializations per
+    concat, ×2 concats ×2 updates per frame — optimized-HLO finding,
+    docs/BENCH.md round 2). Same math up to float reassociation:
+    J·P[3:7] = P[3:7] + (J−I)·P[3:7]."""
     J = quat.norm_jac(x[3:7])
-    rows = J @ P[3:7, :]                       # (4, D)
-    P = jnp.concatenate([P[:3, :], rows, P[7:, :]], axis=0)
-    cols = P[:, 3:7] @ J.T                     # (D, 4) — incl. the 4x4 block
-    P = jnp.concatenate([P[:, :3], cols, P[:, 7:]], axis=1)
+    D4 = J - jnp.eye(4, dtype=P.dtype)
+    P = P.at[3:7, :].add(D4 @ P[3:7, :])       # rows: T P
+    P = P.at[:, 3:7].add(P[:, 3:7] @ D4.T)     # cols: (T P) Tᵀ
     x = x.at[3:7].set(x[3:7] / jnp.linalg.norm(x[3:7]))
     return x, P
 

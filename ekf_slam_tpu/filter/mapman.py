@@ -181,10 +181,18 @@ def add_features_batch(state: FilterState, uvd: jnp.ndarray,
     # the C blocks filled in at every assigned slot's columns — exactly
     # the EᵀU/EᵀCE support, so the results are identical.
     if ekf._STRIPES != "all":
+        # Single stacked dot (see apply_manage_P): Gᵀ·(Mid·G) replaces
+        # EᵀU + UᵀE + EᵀCE — one full-P dot output instead of two plus a
+        # transpose copy.
         Pf = ekf.p_compute(state.P)
-        contrib = p.E.T @ p.U
+        k = p.E.shape[0]
+        dt = p.U.dtype
+        eye = jnp.eye(k, dtype=dt)
+        zero = jnp.zeros((k, k), dt)
+        mid = jnp.block([[p.C, eye], [eye, zero]])
+        G = jnp.concatenate([p.E, p.U], axis=0)            # (2k, D)
         Pn = (Pf * (p.keep_f[:, None] * p.keep_f[None, :])
-              + contrib + contrib.T + p.E.T @ p.C @ p.E)
+              + G.T @ (mid @ G))
         return p.state.replace(P=ekf.p_store(Pn, state.P)), assigned
     return p.state.replace(
         P=_apply_add_blend(state.P, p, assigned)), assigned
@@ -387,10 +395,20 @@ def apply_manage_P(P: jnp.ndarray, p: ManageParams) -> jnp.ndarray:
     stripes touch 12/613 of the matrix. When do=False the stripes
     rewrite the current (masked) values — a no-op by value."""
     if ekf._STRIPES not in ("mgmt", "all"):
-        contrib = p.E6.T @ p.U6
+        # One stacked dot: EᵀU + UᵀE + EᵀCE = Gᵀ·(Mid·G) with
+        # G = [E; U], Mid = [[C, I], [I, 0]] — a single full-P-sized dot
+        # output into which the keep-mask pass fuses, instead of two
+        # (D,D) dot outputs plus a layout-transpose copy of contribᵀ
+        # (optimized-HLO finding, docs/BENCH.md round 2).
+        k = p.E6.shape[0]
+        dt = p.U6.dtype
+        eye = jnp.eye(k, dtype=dt)
+        zero = jnp.zeros((k, k), dt)
+        mid = jnp.block([[p.C66, eye], [eye, zero]])
+        G = jnp.concatenate([p.E6, p.U6], axis=0)          # (2k, D)
         return ekf.p_store(
             ekf.p_compute(P) * (p.keep_f[:, None] * p.keep_f[None, :])
-            + contrib + contrib.T + p.E6.T @ p.C66 @ p.E6, P)
+            + G.T @ (mid @ G), P)
     # GATHER-BLEND form: the conversion contribution has support only on
     # the converted slot's 6-dim stripe, so express it as elementwise
     # gathers from the small U6/C66 operands and fuse everything into the
