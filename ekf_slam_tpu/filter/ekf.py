@@ -58,6 +58,12 @@ _STRIPES = os.environ.get("EKF_STRIPES", "pred")
 # "rows" kept for A/B.
 _PHT_FORM = os.environ.get("EKF_PHT", "dense")
 
+# Covariance-downdate symmetrization form: "transpose" = materialize
+# 0.5(P−KPHtᵀ) then add its transpose (exactly symmetric; pays a full-P
+# layout copy), "stacked" = one [K|PHt]·[PHt|K]ᵀ dot (symmetric to ~1 ulp,
+# no transpose copy). A/B via EKF_SYM; docs/BENCH.md round 2.
+_SYM = os.environ.get("EKF_SYM", "transpose")
+
 # Attribution-only sub-update ablation tokens (share the EKF_ABLATE env
 # list with engine.py's stage tokens; docs/BENCH.md methodology — only the
 # real bench harness times reliably on the tunneled backend, so update
@@ -203,8 +209,18 @@ def update(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray, z: jnp.ndarray,
         x_new = x_new.at[3:7].set(
             x_new[3:7] / jnp.linalg.norm(x_new[3:7]))
         return x_new, P_new
-    P_new = 0.5 * (p_compute(P) - K @ PHt.T)
-    P_new = P_new + P_new.T
+    if _SYM == "stacked":
+        # Symmetric downdate as ONE stacked dot: K·PHtᵀ + PHt·Kᵀ =
+        # [K|PHt]·[PHt|K]ᵀ — no full-P transpose (which pays a full-P
+        # layout copy on TPU: {1,2,0}→{2,1,0}) and symmetric to ~1 ulp.
+        # P enters symmetric (every producer ensures it), so the old
+        # form's 0.5(P+Pᵀ) re-symmetrization of P itself is a no-op.
+        A = jnp.concatenate([K, PHt], axis=1)              # (D, 2M')
+        B = jnp.concatenate([PHt, K], axis=1)
+        P_new = p_compute(P) - 0.5 * (A @ B.T)
+    else:
+        P_new = 0.5 * (p_compute(P) - K @ PHt.T)
+        P_new = P_new + P_new.T
     if "renorm" in _ABLATE:
         x_new = x_new.at[3:7].set(
             x_new[3:7] / jnp.linalg.norm(x_new[3:7]))
