@@ -155,10 +155,19 @@ def innovation_covariances(P: jnp.ndarray, H_xv: jnp.ndarray,
 
 
 def _slot_diag_blocks(P: jnp.ndarray, cap: int) -> jnp.ndarray:
-    """(CAP, 6, 6) diagonal landmark blocks of P."""
-    Pm = P[CAM_DIM:, CAM_DIM:].reshape(cap, 6, cap, 6)
-    idx = jnp.arange(cap)
-    return Pm[idx, :, idx, :]
+    """(CAP, 6, 6) diagonal landmark blocks of P.
+
+    One flat-index gather from a bitcast view of P: element (c,i,j) sits
+    at row 13+6c+i, col 13+6c+j. The previous reshape + 2-D-index
+    advanced-indexing form materialized transposed copies of the WHOLE
+    (6·CAP)² map block (~2x740 MB at B=512 — optimized-HLO finding,
+    docs/BENCH.md round 2) to extract 14 KB of diagonals."""
+    D = P.shape[0]
+    flat = P.reshape(-1)
+    c = jnp.arange(cap)[:, None, None]
+    ij = (jnp.arange(6)[:, None] * D + jnp.arange(6)[None, :])[None]
+    base = (CAM_DIM + 6 * c) * D + CAM_DIM + 6 * c
+    return flat[base + ij]
 
 
 def dense_H(H_xv: jnp.ndarray, H_y: jnp.ndarray,
