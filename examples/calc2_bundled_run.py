@@ -160,10 +160,22 @@ def main():
 
     # Online loop closure on a revisit sequence (close_kitti_loops.py
     # protocol): first pass through P places, then revisit them (warped).
+    # The similarity gate is CALIBRATED on the held-out eval pairs (the
+    # PR-curve operating-point analysis of test_net.py chooses thresholds
+    # the same way): midpoint between the median true-revisit cosine and
+    # the 99th-percentile impostor cosine. evaluate's sim matrix is
+    # (1+cos)/2; the loop DB gates on raw cosine.
+    cos = 2.0 * np.asarray(trained_eval["similarity"]) - 1.0
+    true_cos = np.diag(cos)
+    imp_cos = cos[~np.eye(cos.shape[0], dtype=bool)]
+    thr = float(0.5 * (np.median(true_cos) + np.percentile(imp_cos, 99.0)))
+    print(f"calibrated loop sim_threshold: {thr:.3f} "
+          f"(true med {np.median(true_cos):.3f}, "
+          f"impostor p99 {np.percentile(imp_cos, 99.0):.3f})")
     P = min(24, args.places)
     seq = jnp.concatenate([mem[:P], live[:P]], axis=0)
     lcfg2 = lc.LoopConfig(capacity=128, top_k=3, exclude_recent=P // 2,
-                          min_db=P // 2, sim_threshold=0.8, min_inliers=10,
+                          min_db=P // 2, sim_threshold=thr, min_inliers=8,
                           ransac_hypotheses=16, consistency_count=2,
                           consistency_window=2)
     x0 = jnp.zeros(13).at[3].set(1.0)
@@ -195,6 +207,7 @@ def main():
         "pr_auc_trained": float(trained_eval["auc"]),
         "pr_auc_gcalc2": float(g_auc),
         "loops_declared": n_declared, "loops_correct": correct,
+        "loop_sim_threshold": thr,
         "train_steps_per_s": args.steps / max(train_s, 1e-9),
         "class_weights": load_weights(data_dir).tolist(),
     }
