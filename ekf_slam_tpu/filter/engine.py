@@ -294,13 +294,14 @@ def step_fused(state: FilterState, obs: FrameObs, key: jax.Array,
     vm = visible.astype(H_xv.dtype)[:, None, None]
     li, support = ransac.run(
         x_prior, P_prior, z, h, H_xv * vm, H_y * vm, S, ic,
-        state_m.cartesian, key, cfg, pht=pht3)
+        state_m.cartesian, key, cfg, pht=pht_flat)
 
     # -- 5. LI update: gain in XLA, covariance tail + posterior P·Hᵀ in K2 --
     sel = jnp.argsort(~li)[:M]
     sel_mask = li[sel]
     Hc = measurement.compact_dense_H(H_xv[sel], H_y[sel], sel, sel_mask, cap)
-    PHt_sel = pht3[:, sel, :].reshape(D, 2 * M)
+    cols = (2 * sel[:, None] + jnp.arange(2)).reshape(-1)
+    PHt_sel = pht_flat[:, cols]
     x_li, K_li, PHt_li = ekf.update_gain(
         x_prior, P_prior, Hc, z[sel].reshape(-1), h[sel].reshape(-1),
         jnp.repeat(sel_mask, 2), jnp.ones(2 * M, x_prior.dtype),
@@ -323,7 +324,8 @@ def step_fused(state: FilterState, obs: FrameObs, key: jax.Array,
     sel2_mask = hi[sel2]
     Hc2 = measurement.compact_dense_H(
         H_xv2[sel2], H_y2[sel2], sel2, sel2_mask, cap)
-    PHt2_sel = pht23[:, sel2, :].reshape(D, 2 * M)
+    cols2 = (2 * sel2[:, None] + jnp.arange(2)).reshape(-1)
+    PHt2_sel = pht2_flat[:, cols2]
     x_hi, K_hi, PHt_hi = ekf.update_gain(
         x_li, P_li, Hc2, z[sel2].reshape(-1), h2[sel2].reshape(-1),
         jnp.repeat(sel2_mask, 2), jnp.ones(2 * M, x_li.dtype),
