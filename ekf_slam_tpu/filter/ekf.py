@@ -61,8 +61,10 @@ _PHT_FORM = os.environ.get("EKF_PHT", "dense")
 # Covariance-downdate symmetrization form: "transpose" = materialize
 # 0.5(P−KPHtᵀ) then add its transpose (exactly symmetric; pays a full-P
 # layout copy), "stacked" = one [K|PHt]·[PHt|K]ᵀ dot (symmetric to ~1 ulp,
-# no transpose copy). A/B via EKF_SYM; docs/BENCH.md round 2.
-_SYM = os.environ.get("EKF_SYM", "transpose")
+# no transpose copy). MEASURED (v5e, B=512 fast mode): stacked 7644.9 vs
+# transpose 6622.7 (+15%) — stacked is the default; f64 end-to-end A/B
+# agrees to 1.5e-15 (docs/BENCH.md round 2).
+_SYM = os.environ.get("EKF_SYM", "stacked")
 
 # Attribution-only sub-update ablation tokens (share the EKF_ABLATE env
 # list with engine.py's stage tokens; docs/BENCH.md methodology — only the
