@@ -1,0 +1,101 @@
+"""Unit equivalence of the round-2 layout-driven rewrites.
+
+Each rewrite replaced a TPU-hostile materialization (small-minor-dim
+gather/concat/transpose) with a layout-friendly form (docs/BENCH.md
+round 2). These tests pin the forms to their naive references directly,
+in addition to the end-to-end suites.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ekf_slam_tpu.config import CAM_DIM
+from ekf_slam_tpu.filter import measurement
+from ekf_slam_tpu.ops import quaternion as quat
+
+
+def _rand_spd(key, n, dtype=jnp.float64):
+    A = jax.random.normal(key, (n, n), dtype)
+    return A @ A.T + n * jnp.eye(n, dtype=dtype)
+
+
+def test_slot_diag_blocks_matches_reshape_indexing():
+    cap = 7
+    D = CAM_DIM + 6 * cap
+    P = _rand_spd(jax.random.key(0), D)
+    got = measurement._slot_diag_blocks(P, cap)
+    Pm = P[CAM_DIM:, CAM_DIM:].reshape(cap, 6, cap, 6)
+    want = Pm[jnp.arange(cap), :, jnp.arange(cap), :]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pht_slots_flat_ordering():
+    """Column 2c+j of the flat pht equals P @ H_cᵀ's j-th column."""
+    cap = 5
+    D = CAM_DIM + 6 * cap
+    key = jax.random.key(1)
+    P = _rand_spd(key, D)
+    H_xv = jax.random.normal(jax.random.key(2), (cap, 2, CAM_DIM),
+                             jnp.float64)
+    H_y = jax.random.normal(jax.random.key(3), (cap, 2, 6), jnp.float64)
+    flat = measurement.pht_slots(P, H_xv, H_y)
+    assert flat.shape == (D, 2 * cap)
+    for c in range(cap):
+        H = np.zeros((2, D))
+        H[:, :CAM_DIM] = np.asarray(H_xv[c])
+        H[:, CAM_DIM + 6 * c:CAM_DIM + 6 * c + 6] = np.asarray(H_y[c])
+        want = np.asarray(P) @ H.T                       # (D, 2)
+        np.testing.assert_allclose(np.asarray(flat[:, 2 * c:2 * c + 2]),
+                                   want, rtol=1e-12, atol=1e-12)
+
+
+def test_stacked_symmetrize_matches_transpose_form():
+    """[K|PHt]·[PHt|K]ᵀ == K·PHtᵀ + PHt·Kᵀ, and the downdate stays
+    symmetric to machine precision."""
+    D, M = 25, 6
+    K = jax.random.normal(jax.random.key(4), (D, M), jnp.float64)
+    PHt = jax.random.normal(jax.random.key(5), (D, M), jnp.float64)
+    A = jnp.concatenate([K, PHt], axis=1)
+    B = jnp.concatenate([PHt, K], axis=1)
+    got = A @ B.T
+    want = K @ PHt.T + PHt @ K.T
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-12, atol=1e-12)
+    asym = np.abs(np.asarray(got) - np.asarray(got).T).max()
+    assert asym < 1e-12
+
+
+def test_ransac_pick_matrix_equals_per_pick_gather():
+    """The one-hot pick matrix product equals per-pick (D,2) column
+    gathers: x + pht2 @ A == x + pht[:, pick] @ w for every hypothesis."""
+    cap, nhyp = 6, 9
+    D = CAM_DIM + 6 * cap
+    pht2 = jax.random.normal(jax.random.key(6), (D, 2 * cap), jnp.float64)
+    picks = jax.random.randint(jax.random.key(7), (nhyp,), 0, cap)
+    w = jax.random.normal(jax.random.key(8), (nhyp, 2), jnp.float64)
+    onehot = jax.nn.one_hot(picks, cap, dtype=jnp.float64)
+    A = jnp.einsum("nc,nj->cjn", onehot, w).reshape(2 * cap, nhyp)
+    got = pht2 @ A                                       # (D, NHYP)
+    for n in range(nhyp):
+        col = pht2[:, 2 * picks[n]:2 * picks[n] + 2]
+        np.testing.assert_allclose(np.asarray(got[:, n]),
+                                   np.asarray(col @ w[n]),
+                                   rtol=1e-12, atol=1e-12)
+
+
+def test_renorm_stripe_form_matches_full_transform():
+    """T = I + (normJac − I) stripe adds == T P Tᵀ with the dense T."""
+    from ekf_slam_tpu.filter import ekf
+    D = CAM_DIM + 12
+    P = _rand_spd(jax.random.key(9), D)
+    x = jax.random.normal(jax.random.key(10), (D,), jnp.float64)
+    x_new, P_new = ekf._renormalize_quaternion(x, P)
+    J = quat.norm_jac(x[3:7])
+    T = jnp.eye(D, dtype=P.dtype).at[3:7, 3:7].set(J)
+    want = T @ P @ T.T
+    np.testing.assert_allclose(np.asarray(P_new), np.asarray(want),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(x_new[3:7]),
+        np.asarray(x[3:7] / jnp.linalg.norm(x[3:7])), rtol=1e-12)
