@@ -142,23 +142,26 @@ def step_core_from_prior(state: FilterState, x_prior: jnp.ndarray,
 
     # -- 3. measurement prediction + IC gating (search_IC_matches/matching) --
     h, visible, H_xv, H_y = _linearize(x_prior, P_prior, state, cfg)[:4]
+    # share_pht: ONE per-slot gain-column read P Hᵀ (D, 2·CAP) feeds the
+    # per-slot S gates, RANSAC's one-matmul hypothesis apply, AND the LI
+    # update's compact PHt (a transpose-free column gather) — replacing
+    # three separate P reads. Invisible slots' pht columns are masked to
+    # zero, so their S degenerates to R alone; they are gated out of IC
+    # anyway (visible=False).
+    vm = visible.astype(H_xv.dtype)[:, None, None]
+    pht_all = measurement.pht_slots(P_prior, H_xv * vm, H_y * vm) \
+        if f.share_pht else None
     if "s1" in _ABLATE:
         S = jnp.broadcast_to(jnp.eye(2, dtype=x_prior.dtype) * 4.0,
                              (cap, 2, 2))
+    elif pht_all is not None:
+        S = measurement.innovation_covariances_from_pht(
+            pht_all.reshape(-1, cap, 2), H_xv * vm, H_y * vm, f.sigma_z)
     else:
         S = measurement.innovation_covariances(P_prior, H_xv, H_y, f.sigma_z)
     ic = association.individually_compatible(z, z_valid, h, visible, S, cfg)
 
     # -- 4. 1-point RANSAC → LI inliers ---------------------------------------
-    # share_pht: RANSAC needs the per-slot gain columns P Hᵀ anyway (one
-    # P-read einsum); with the flag on, the SAME (D, 2·CAP) array also
-    # feeds the LI update via a transpose-free column gather, replacing
-    # the update's dense P @ Hᵀ (which under f32-accurate precision
-    # re-reads P per pass). Round-1's (CAP, D, 2) layout measured slower
-    # because every consumer paid a transposed copy; this layout does not.
-    vm = visible.astype(H_xv.dtype)[:, None, None]
-    pht_all = measurement.pht_slots(P_prior, H_xv * vm, H_y * vm) \
-        if f.share_pht else None
     if "ransac" in _ABLATE:
         li, support = ic, jnp.sum(ic)
     else:
@@ -183,16 +186,22 @@ def step_core_from_prior(state: FilterState, x_prior: jnp.ndarray,
         h2, vis2, H_xv2, H_y2 = h, visible, H_xv, H_y
     else:
         h2, vis2, H_xv2, H_y2 = _linearize(x_post, P_post, state, cfg)[:4]
-    S_noR = measurement.innovation_covariances(P_post, H_xv2, H_y2, 0.0)
+    # share_pht: the posterior gain columns feed BOTH the rescue gates'
+    # S (R=0 here, rescue_hi_inliers.m:13) and the HI update.
+    vm2 = vis2.astype(H_xv2.dtype)[:, None, None]
+    pht_all2 = measurement.pht_slots(P_post, H_xv2 * vm2, H_y2 * vm2) \
+        if f.share_pht else None
+    if pht_all2 is not None:
+        S_noR = measurement.innovation_covariances_from_pht(
+            pht_all2.reshape(-1, cap, 2), H_xv2 * vm2, H_y2 * vm2, 0.0)
+    else:
+        S_noR = measurement.innovation_covariances(P_post, H_xv2, H_y2, 0.0)
     hi = association.rescue_high_innovation(z, h2, S_noR, ic & vis2, li, cfg)
 
     # -- 7. HI update from the posterior (ekf_update_hi_inliers.m; R = I) -----
     if "hi" in _ABLATE:
         pass
     else:
-        vm2 = vis2.astype(H_xv2.dtype)[:, None, None]
-        pht_all2 = measurement.pht_slots(P_post, H_xv2 * vm2, H_y2 * vm2) \
-            if f.share_pht else None
         x_post, P_post = _masked_update(
             x_post, P_post, H_xv2, H_y2, z, h2, hi, cfg, pht_all=pht_all2)
 
