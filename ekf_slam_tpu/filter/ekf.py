@@ -239,7 +239,10 @@ def _spd_inverse(S: jnp.ndarray) -> jnp.ndarray:
     return Linv.T @ Linv
 
 
-def _spd_inverse_newton(S: jnp.ndarray, iters: int = 20,
+_NEWTON_ITERS = int(os.environ.get("EKF_NEWTON_ITERS", "20"))
+
+
+def _spd_inverse_newton(S: jnp.ndarray, iters: int = _NEWTON_ITERS,
                         refine_iters: int = 3) -> jnp.ndarray:
     """SPD inverse by Newton-Schulz iteration X ← X(2I − SX) — pure MXU
     matmuls instead of the sequential Cholesky/triangular solves (which
@@ -260,8 +263,20 @@ def _spd_inverse_newton(S: jnp.ndarray, iters: int = 20,
     no-ops and the result is the plain 20-iteration Newton inverse."""
     M = S.shape[-1]
     eye = jnp.eye(M, dtype=S.dtype)
-    lam_up = jnp.max(jnp.sum(jnp.abs(S), axis=-1), axis=-1)
-    X = eye / lam_up[..., None, None]
+    # Jacobi-preconditioned start: X₀ = D⁻¹/λ̂ with D = diag(S) and λ̂ the
+    # Gershgorin bound of D^-1/2 S D^-1/2. S X₀ is similar to Ŝ/λ̂ whose
+    # spectrum lies in (0,1], so convergence holds as before but the
+    # initial residual no longer depends on S's raw diagonal spread
+    # (innovation covariances mix σ²≈1 pixel rows with large fresh-slot
+    # variances) — strictly tighter than the unpreconditioned Gershgorin
+    # start at the same iteration count.
+    d = jnp.diagonal(S, axis1=-2, axis2=-1)
+    d = jnp.where(d > 0, d, jnp.ones_like(d))
+    rsd = jax.lax.rsqrt(d)
+    S_hat_rows = jnp.sum(jnp.abs(S) * rsd[..., :, None] * rsd[..., None, :],
+                         axis=-1)
+    lam_up = jnp.max(S_hat_rows, axis=-1)
+    X = (eye / d[..., None, :]) / lam_up[..., None, None]
     fast = jax.lax.Precision.DEFAULT
     accurate = jax.lax.Precision.HIGHEST
 
