@@ -160,17 +160,25 @@ def main():
 
     # Online loop closure on a revisit sequence (close_kitti_loops.py
     # protocol): first pass through P places, then revisit them (warped).
-    # The similarity gate is CALIBRATED on the held-out eval pairs (the
-    # PR-curve operating-point analysis of test_net.py chooses thresholds
-    # the same way): midpoint between the median true-revisit cosine and
-    # the 99th-percentile impostor cosine. evaluate's sim matrix is
-    # (1+cos)/2; the loop DB gates on raw cosine.
+    # The similarity gate is CALIBRATED on the held-out eval pairs — the
+    # PR-curve operating-point analysis of test_net.py in automated form:
+    # pick the retrieval-score threshold maximizing F1 over the held-out
+    # places (scores are top-1 sims in the (1+cos)/2 scale; the loop DB
+    # gates on raw cosine). The geometric verify + temporal-consistency
+    # stages (close_kitti_loops.py:113-138) then handle the impostors
+    # this recall-oriented gate admits.
+    labels = np.asarray(trained_eval["labels"])
+    scores = np.asarray(trained_eval["scores"])
+    order = np.argsort(-scores)
+    tp = np.cumsum(labels[order])
+    k = np.arange(1, len(order) + 1)
+    f1 = 2.0 * tp / (k + labels.sum())
+    thr = float(2.0 * scores[order][np.argmax(f1)] - 1.0)  # -> cosine
     cos = 2.0 * np.asarray(trained_eval["similarity"]) - 1.0
     true_cos = np.diag(cos)
     imp_cos = cos[~np.eye(cos.shape[0], dtype=bool)]
-    thr = float(0.5 * (np.median(true_cos) + np.percentile(imp_cos, 99.0)))
-    print(f"calibrated loop sim_threshold: {thr:.3f} "
-          f"(true med {np.median(true_cos):.3f}, "
+    print(f"calibrated loop sim_threshold: {thr:.3f} (max-F1 point; "
+          f"true med {np.median(true_cos):.3f}, "
           f"impostor p99 {np.percentile(imp_cos, 99.0):.3f})")
     P = min(24, args.places)
     seq = jnp.concatenate([mem[:P], live[:P]], axis=0)
