@@ -115,3 +115,23 @@ def positive_view(key: jax.Array, images: jnp.ndarray,
     adjusted = jnp.clip(warped + shift, 0.0, 1.0)
     mean = jnp.mean(warped, axis=(1, 2, 3), keepdims=True)
     return jnp.where(mean < 0.2, warped, adjusted)
+
+
+def eval_view(key: jax.Array, images: jnp.ndarray,
+              max_warp: float = 0.3) -> jnp.ndarray:
+    """A held-out 'revisit' view for EVALUATION pairs: moderate
+    viewpoint homography + illumination shift, NO mirror flip.
+
+    The reference evaluates on real revisit pairs (CampusLoopDataset,
+    test_net.py:44-99) — viewpoint and lighting change, never mirrored.
+    The random flip in positive_view is a TRAINING trick (calc2.py:264);
+    evaluating against flipped views makes the local-keypoint geometric
+    verification unsolvable by construction (activation-difference
+    descriptors are not mirror-invariant, and neither are FREAK/BRIEF)."""
+    kw, kb = jax.random.split(key)
+    B, H, W, C = images.shape
+    warped = rand_warp(kw, images, (H, W), max_warp)
+    shift = jax.random.uniform(kb, (B, 1, 1, 1), images.dtype, -0.5, 0.0)
+    adjusted = jnp.clip(warped + shift, 0.0, 1.0)
+    mean = jnp.mean(warped, axis=(1, 2, 3), keepdims=True)
+    return jnp.where(mean < 0.2, warped, adjusted)

@@ -62,12 +62,14 @@ def build_shards(out_dir, n_images, hw, seed=7):
 
 def eval_places(model, variables, n_places, hw, key):
     """CampusLoop-style pairs: memory = clean scene render; live = the same
-    place through a random homography + brightness change."""
+    place through a moderate viewpoint homography + illumination change
+    (augment.eval_view — the real-revisit model of test_net.py's pairs;
+    mirror flips are a training-only augmentation)."""
     from ekf_slam_tpu.data import synthetic_batch
     from ekf_slam_tpu.models import augment, evaluate
 
     mem, _ = synthetic_batch(jax.random.key(1234), n_places, hw)
-    live = augment.positive_view(key, mem)
+    live = augment.eval_view(key, mem)
     out = evaluate.evaluate_pairs(model, variables, live, mem, batch=8)
     return out, live, mem
 
