@@ -104,3 +104,44 @@ def test_kitti_pose_roundtrip(tmp_path):
     back2 = load_kitti_poses(out)
     np.testing.assert_allclose(back2[:, :, 3], ts, atol=1e-7)
     np.testing.assert_allclose(back2[:, :, 0:3], qs, atol=1e-5)
+
+
+def test_video_sequence_via_ffmpeg_shims(tmp_path, monkeypatch):
+    """VideoSequence decode/stream logic through fake ffmpeg/ffprobe
+    shims (no codec stack in this environment): 3 gray 8x6 frames piped
+    as rawvideo must come back shaped, scaled to [0,1] and in order."""
+    import os
+    import stat
+
+    frames = np.stack([np.full((6, 8), v, np.uint8)
+                       for v in (0, 128, 255)])
+    raw = tmp_path / "raw.bin"
+    raw.write_bytes(frames.tobytes())
+    ffprobe = tmp_path / "ffprobe"
+    ffprobe.write_text(
+        "#!/bin/sh\n"
+        "echo '{\"streams\": [{\"width\": 16, \"height\": 12, "
+        "\"nb_frames\": 3}]}'\n")
+    ffmpeg = tmp_path / "ffmpeg"
+    ffmpeg.write_text(f"#!/bin/sh\ncat {raw}\n")
+    for f in (ffprobe, ffmpeg):
+        os.chmod(f, os.stat(f).st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{tmp_path}:{os.environ['PATH']}")
+
+    from ekf_slam_tpu.io.video import VideoSequence, load_video_frames
+    seq = VideoSequence("fake.avi", half_size=True)
+    assert (seq.width, seq.height) == (8, 6)     # 16x12 half-sized
+    assert len(seq) == 3
+    np.testing.assert_allclose(seq[1], np.full((6, 8), 128 / 255.0),
+                               atol=1e-6)
+    stack = load_video_frames("fake.avi", count=2)
+    assert stack.shape == (2, 6, 8)
+    assert stack[0].max() == 0.0 and abs(stack[1].max() - 128 / 255) < 1e-6
+
+
+def test_video_sequence_clear_error_without_ffmpeg(monkeypatch):
+    monkeypatch.setenv("PATH", "/nonexistent")
+    from ekf_slam_tpu.io.video import VideoSequence
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="ffmpeg"):
+        VideoSequence("x.avi")
