@@ -240,6 +240,7 @@ def _spd_inverse(S: jnp.ndarray) -> jnp.ndarray:
 
 
 _NEWTON_ITERS = int(os.environ.get("EKF_NEWTON_ITERS", "20"))
+_NEWTON_MODE = os.environ.get("EKF_NEWTON_MODE", "fixed")
 
 
 def _spd_inverse_newton(S: jnp.ndarray, iters: int = _NEWTON_ITERS,
@@ -288,7 +289,30 @@ def _spd_inverse_newton(S: jnp.ndarray, iters: int = _NEWTON_ITERS,
         SX = jnp.matmul(S, X, precision=accurate)
         return jnp.matmul(X, 2.0 * eye - SX, precision=accurate)
 
-    X = jax.lax.fori_loop(0, max(iters - refine_iters, 0), body_fast, X)
+    if _NEWTON_MODE == "adaptive":
+        # Early-exit while_loop: stop the fast phase once the residual
+        # ‖I − SX‖_max is below bf16 resolution (the refine phase then
+        # polishes to f32). The iteration is lock-step across a vmapped
+        # batch — the worst-conditioned instance bounds the count — but
+        # steady-state S (tracked features, Jacobi-preconditioned start)
+        # converges in ~6-10 iterations vs the fixed 17+3. A/B via
+        # EKF_NEWTON_MODE; attribution: docs/BENCH.md round 2.
+        def cond(state):
+            i, X, res = state
+            return (i < max(iters - refine_iters, 0)) & (res > 5e-3)
+
+        def body(state):
+            i, X, _ = state
+            SX = jnp.matmul(S, X, precision=fast)
+            X = jnp.matmul(X, 2.0 * eye - SX, precision=fast)
+            res = jnp.max(jnp.abs(SX - eye))
+            return i + 1, X, res
+
+        _, X, _ = jax.lax.while_loop(
+            cond, body, (0, X, jnp.asarray(1.0, S.dtype)))
+    else:
+        X = jax.lax.fori_loop(0, max(iters - refine_iters, 0),
+                              body_fast, X)
     return jax.lax.fori_loop(0, refine_iters, body_accurate, X)
 
 
