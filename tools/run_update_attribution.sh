@@ -7,5 +7,5 @@ set -x
 cd "$(dirname "$0")/.."
 for a in "" pht gain tail renorm "pht,gain,tail" "lin2,s1" ransac "li,hi"; do
   echo "=== EKF_ABLATE=$a"
-  EKF_ABLATE="$a" timeout 1500 python bench.py
+  EKF_ABLATE="$a" timeout 2700 python bench.py
 done
