@@ -204,7 +204,11 @@ def update(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray, z: jnp.ndarray,
     # quaternion renorm (update.m:18-24). The whole covariance tail is
     # HBM-bound; on TPU it runs as ONE fused Pallas pass
     # (ops/pallas_kernels.fused_update_tail) when use_pallas is set.
-    if use_pallas and x.dtype == jnp.float32 and P.dtype == jnp.float32:
+    if use_pallas and x.dtype == jnp.float32 and P.dtype in (
+            jnp.float32, jnp.bfloat16):
+        # The kernel reads/writes P in its STORAGE dtype (bf16 fast mode
+        # included: upcast on read, round on store) with f32 arithmetic —
+        # one P pass for downdate+symmetrize+renorm.
         from ekf_slam_tpu.ops import pallas_kernels
         Jq = quat.norm_jac(x_new[3:7])
         P_new = pallas_kernels.fused_update_tail(P, K, PHt, Jq)

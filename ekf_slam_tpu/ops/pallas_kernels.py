@@ -35,13 +35,15 @@ def _kernel(Pij_ref, K_ref, PHt_ref, Jq_ref, out_ref):
     # update re-symmetrizes), so sym(P − K·PHtᵀ) = P − 0.5(K·PHtᵀ + PHt·Kᵀ)
     # — no transposed-P read. K and PHt live whole in VMEM (row-padded to
     # the tile multiple by the host wrapper) and are sliced per tile.
+    # bf16-stored P upcasts on read and rounds on store (the fast mode's
+    # storage contract); all arithmetic is f32.
     Ki = K_ref[pl.ds(i * TILE, TILE), :]
     Kj = K_ref[pl.ds(j * TILE, TILE), :]
     PHti = PHt_ref[pl.ds(i * TILE, TILE), :]
     PHtj = PHt_ref[pl.ds(j * TILE, TILE), :]
     # precision=HIGHEST: full-f32 multi-pass MXU dots — the covariance
     # downdate cannot run at the bf16 default (see ekf.f32_matmuls).
-    out = Pij_ref[:] - 0.5 * (
+    out = Pij_ref[:].astype(jnp.float32) - 0.5 * (
         jnp.dot(Ki, PHtj.T, preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)
         + jnp.dot(PHti, Kj.T, preferred_element_type=jnp.float32,
@@ -56,6 +58,8 @@ def _kernel(Pij_ref, K_ref, PHt_ref, Jq_ref, out_ref):
     EQ = (ridx == cidx).astype(out.dtype)     # (TILE, 8) rows 0..7 selector
     stripe_mask_r = (ridx[:, 0:1] < 8)        # (TILE, 1)
 
+    st = out_ref.dtype
+
     @pl.when(i == 0)
     def _():
         stripe = jnp.dot(EQ.T, out, preferred_element_type=jnp.float32,
@@ -64,15 +68,15 @@ def _kernel(Pij_ref, K_ref, PHt_ref, Jq_ref, out_ref):
                      precision=jax.lax.Precision.HIGHEST)
         expanded = jnp.dot(EQ, stripe, preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)
-        out_ref[:] = jnp.where(stripe_mask_r, expanded, out)
+        out_ref[:] = jnp.where(stripe_mask_r, expanded, out).astype(st)
 
     @pl.when(i != 0)
     def _():
-        out_ref[:] = out
+        out_ref[:] = out.astype(st)
 
     @pl.when(j == 0)
     def _():
-        cur = out_ref[:]
+        cur = out_ref[:].astype(jnp.float32)
         stripe = jnp.dot(cur, EQ, preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)
         stripe = jnp.dot(stripe, Jq.T, preferred_element_type=jnp.float32,
@@ -81,7 +85,7 @@ def _kernel(Pij_ref, K_ref, PHt_ref, Jq_ref, out_ref):
                      precision=jax.lax.Precision.HIGHEST)
         col_mask = jax.lax.broadcasted_iota(
             jnp.int32, (TILE, TILE), 1) < 8
-        out_ref[:] = jnp.where(col_mask, expanded, cur)
+        out_ref[:] = jnp.where(col_mask, expanded, cur).astype(st)
 
 
 def _tail_single(P, K, PHt, Jq):

@@ -81,3 +81,29 @@ def test_f32_matmul_big_matches_xla():
         pk._INTERPRET[0] = False
     np.testing.assert_allclose(np.asarray(got_b[1]), np.asarray(2 * A @ B),
                                atol=2e-3, rtol=1e-5)
+
+
+def test_fused_update_tail_bf16_storage():
+    """bf16-stored P: the kernel upcasts on read, computes in f32 and
+    rounds on store — matches the XLA fast-mode tail (compute on the
+    upcast P, one bf16 rounding at the end) to bf16 resolution."""
+    D, M = 210, 48
+    key = jax.random.key(3)
+    kP, kK, kH, kq = jax.random.split(key, 4)
+    A = jax.random.normal(kP, (D, D), jnp.float32) * 0.1
+    P32 = A @ A.T + jnp.eye(D)
+    P16 = P32.astype(jnp.bfloat16)
+    K = jax.random.normal(kK, (D, M), jnp.float32) * 0.05
+    PHt = jax.random.normal(kH, (D, M), jnp.float32) * 0.05
+    q = jax.random.normal(kq, (4,), jnp.float32)
+    Jq = quat.norm_jac(q / jnp.linalg.norm(q) * 1.01)
+
+    ref = _reference_tail(P16.astype(jnp.float32), K, PHt, Jq)
+    pk._INTERPRET[0] = True
+    try:
+        got = pk.fused_update_tail(P16, K, PHt, Jq)
+    finally:
+        pk._INTERPRET[0] = False
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref), atol=2e-2, rtol=2e-2)
