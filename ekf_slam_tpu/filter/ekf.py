@@ -204,8 +204,13 @@ def update(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray, z: jnp.ndarray,
     # quaternion renorm (update.m:18-24). The whole covariance tail is
     # HBM-bound; on TPU it runs as ONE fused Pallas pass
     # (ops/pallas_kernels.fused_update_tail) when use_pallas is set.
-    if use_pallas and x.dtype == jnp.float32 and P.dtype in (
-            jnp.float32, jnp.bfloat16):
+    # bf16 storage engages the kernel only on explicit request
+    # (EKF_PALLAS_BF16=1): the HIGHEST-precision variant measured slower
+    # than the XLA stacked tail (6828 vs 7677, docs/BENCH.md r2); the
+    # DEFAULT-precision variant is the pending A/B.
+    pallas_ok = P.dtype == jnp.float32 or (
+        P.dtype == jnp.bfloat16 and _PALLAS_BF16)
+    if use_pallas and x.dtype == jnp.float32 and pallas_ok:
         # The kernel reads/writes P in its STORAGE dtype (bf16 fast mode
         # included: upcast on read, round on store) with f32 arithmetic —
         # one P pass for downdate+symmetrize+renorm.
@@ -245,6 +250,7 @@ def _spd_inverse(S: jnp.ndarray) -> jnp.ndarray:
 
 _NEWTON_ITERS = int(os.environ.get("EKF_NEWTON_ITERS", "20"))
 _NEWTON_MODE = os.environ.get("EKF_NEWTON_MODE", "fixed")
+_PALLAS_BF16 = os.environ.get("EKF_PALLAS_BF16", "0") == "1"
 
 
 def _spd_inverse_newton(S: jnp.ndarray, iters: int = _NEWTON_ITERS,

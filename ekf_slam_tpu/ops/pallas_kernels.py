@@ -41,13 +41,20 @@ def _kernel(Pij_ref, K_ref, PHt_ref, Jq_ref, out_ref):
     Kj = K_ref[pl.ds(j * TILE, TILE), :]
     PHti = PHt_ref[pl.ds(i * TILE, TILE), :]
     PHtj = PHt_ref[pl.ds(j * TILE, TILE), :]
-    # precision=HIGHEST: full-f32 multi-pass MXU dots — the covariance
-    # downdate cannot run at the bf16 default (see ekf.f32_matmuls).
+    # f32-stored P: HIGHEST (full-f32 multi-pass MXU dots — the parity
+    # path's downdate cannot run at the bf16 default, see
+    # ekf.f32_matmuls). bf16-stored P: DEFAULT — the result is rounded
+    # to bf16 on store anyway, so single-pass bf16 dots introduce error
+    # of the same order as the storage rounding at 1/6 the MXU passes
+    # (the HIGHEST variant measured SLOWER than the XLA stacked tail,
+    # docs/BENCH.md round 2).
+    prec = (jax.lax.Precision.DEFAULT if out_ref.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
     out = Pij_ref[:].astype(jnp.float32) - 0.5 * (
         jnp.dot(Ki, PHtj.T, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+                precision=prec)
         + jnp.dot(PHti, Kj.T, preferred_element_type=jnp.float32,
-                  precision=jax.lax.Precision.HIGHEST))
+                  precision=prec))
 
     Jq = Jq_ref[0:8, 0:8]     # I3 ⊕ J4 ⊕ I1 stripe transform
     # One-hot extract/expand of the quaternion stripe (rows/cols 3:7 -> take
