@@ -161,6 +161,21 @@ def update_gain(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray,
     r_eff = jnp.where(row_mask, r_diag, jnp.ones_like(r_diag))
     if "pht" in _ABLATE:
         PHt = jnp.zeros((P.shape[0], H.shape[0]), dtype)
+    elif PHt is None and _PHT_FORM == "mixed16" and P.dtype == jnp.bfloat16:
+        # bf16-stored P: ONE single-pass bf16 MXU dot against the
+        # two-term bf16 split of H (hi + lo capture ~16 mantissa bits;
+        # residual ~2^-16 relative, far below the 2^-8 storage rounding
+        # of P itself). The f32-emulated alternative upcasts P and pays
+        # 3 passes, one of which multiplies the upcast's ZERO lo-split.
+        Hh = H.astype(jnp.bfloat16)
+        Hl = (H - Hh.astype(jnp.float32)).astype(jnp.bfloat16)
+        Hcat = jnp.concatenate([Hh, Hl], axis=0)           # (2M', D)
+        both = jax.lax.dot_general(
+            P, Hcat.T, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32)            # (D, 2M')
+        M_ = H.shape[0]
+        PHt = both[:, :M_] + both[:, M_:]
     elif PHt is None:
         PHt = p_compute(P) @ H.T               # (D, M)
     else:
