@@ -118,9 +118,10 @@ def positive_view(key: jax.Array, images: jnp.ndarray,
 
 
 def eval_view(key: jax.Array, images: jnp.ndarray,
-              max_warp: float = 0.3) -> jnp.ndarray:
+              max_warp: float = 0.3, severity: float = 0.0) -> jnp.ndarray:
     """A held-out 'revisit' view for EVALUATION pairs: moderate
-    viewpoint homography + illumination shift, NO mirror flip.
+    viewpoint homography + illumination shift, NO mirror flip; severity
+    > 0 adds the `seasonal_change` appearance model on top.
 
     The reference evaluates on real revisit pairs (CampusLoopDataset,
     test_net.py:44-99) — viewpoint and lighting change, never mirrored.
@@ -128,10 +129,55 @@ def eval_view(key: jax.Array, images: jnp.ndarray,
     evaluating against flipped views makes the local-keypoint geometric
     verification unsolvable by construction (activation-difference
     descriptors are not mirror-invariant, and neither are FREAK/BRIEF)."""
-    kw, kb = jax.random.split(key)
+    kw, kb, ks = jax.random.split(key, 3)
     B, H, W, C = images.shape
     warped = rand_warp(kw, images, (H, W), max_warp)
     shift = jax.random.uniform(kb, (B, 1, 1, 1), images.dtype, -0.5, 0.0)
     adjusted = jnp.clip(warped + shift, 0.0, 1.0)
     mean = jnp.mean(warped, axis=(1, 2, 3), keepdims=True)
-    return jnp.where(mean < 0.2, warped, adjusted)
+    out = jnp.where(mean < 0.2, warped, adjusted)
+    if severity > 0.0:
+        out = seasonal_change(ks, out, severity)
+    return out
+
+
+def seasonal_change(key: jax.Array, images: jnp.ndarray,
+                    severity: float = 1.0,
+                    n_occluders: int = 3) -> jnp.ndarray:
+    """Appearance change of a REAL revisit (the CampusLoopDataset pairs the
+    reference evaluates on are cross-season: snow, foliage, lighting,
+    transient objects — test_net.py:44-99). The plain global brightness
+    shift of `eval_view` is normalized away by any L2-normalized
+    descriptor; this models the parts that are not:
+
+    * a low-frequency multiplicative illumination field (sun angle /
+      shadows): coarse 4x5 gain grid in [1−0.6s, 1+0.6s], bilinearly
+      upsampled;
+    * additive sensor noise, sigma = 0.08·s;
+    * `n_occluders` random gray rectangles (~1/5 of each side) per image
+      (parked cars, pedestrians, seasonal vegetation).
+
+    severity s = 0 is the identity; s = 1 drops untrained-descriptor
+    retrieval to roughly chance-plus on the bundled scenes, restoring the
+    headroom that makes the trained-vs-untrained PR-AUC lift meaningful.
+    """
+    kg, kn, kb, kv, kf = jax.random.split(key, 5)
+    B, H, W, C = images.shape
+    dt = images.dtype
+    gain = jax.random.uniform(kg, (B, 4, 5, 1), dt,
+                              1.0 - 0.6 * severity, 1.0 + 0.6 * severity)
+    gain = jax.image.resize(gain, (B, H, W, 1), "bilinear")
+    out = images * gain
+    out = out + jax.random.normal(kn, out.shape, dt) * (0.08 * severity)
+    # Occluder rectangles: branchless masks from per-image box params.
+    yy = jnp.arange(H, dtype=dt)[None, None, :, None, None]  # (1,1,H,1,1)
+    xx = jnp.arange(W, dtype=dt)[None, None, None, :, None]  # (1,1,1,W,1)
+    cy = jax.random.uniform(kb, (B, n_occluders, 1, 1, 1), dt, 0.0, H)
+    cx = jax.random.uniform(kv, (B, n_occluders, 1, 1, 1), dt, 0.0, W)
+    hh = 0.1 * severity * H
+    ww = 0.1 * severity * W
+    inside = ((jnp.abs(yy - cy) < hh) & (jnp.abs(xx - cx) < ww))
+    occluded = jnp.any(inside, axis=1)                       # (B, H, W, 1)
+    fill = jax.random.uniform(kf, (B, 1, 1, C), dt, 0.3, 0.7)
+    out = jnp.where(occluded, fill, out)
+    return jnp.clip(out, 0.0, 1.0)

@@ -60,16 +60,17 @@ def build_shards(out_dir, n_images, hw, seed=7):
     return write_shards(out_dir, pairs(), shard_size=64)
 
 
-def eval_places(model, variables, n_places, hw, key):
+def eval_places(model, variables, n_places, hw, key, severity=0.0):
     """CampusLoop-style pairs: memory = clean scene render; live = the same
     place through a moderate viewpoint homography + illumination change
     (augment.eval_view — the real-revisit model of test_net.py's pairs;
-    mirror flips are a training-only augmentation)."""
+    mirror flips are a training-only augmentation). severity > 0 adds the
+    cross-season appearance model (augment.seasonal_change)."""
     from ekf_slam_tpu.data import synthetic_batch
     from ekf_slam_tpu.models import augment, evaluate
 
     mem, _ = synthetic_batch(jax.random.key(1234), n_places, hw)
-    live = augment.eval_view(key, mem)
+    live = augment.eval_view(key, mem, severity=severity)
     out = evaluate.evaluate_pairs(model, variables, live, mem, batch=8)
     return out, live, mem
 
@@ -83,6 +84,9 @@ def main():
     ap.add_argument("--images", type=int, default=1024)
     ap.add_argument("--places", type=int, default=64)
     ap.add_argument("--out", default="runs/calc2")
+    ap.add_argument("--eval-severity", type=float, default=0.0,
+                    help="cross-season appearance severity for the eval "
+                         "pairs (augment.seasonal_change; 0 = off)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -112,7 +116,8 @@ def main():
     state0 = train.init_state(model, tcfg, jax.random.key(tcfg.seed))
     vars0 = {"params": state0.params, "batch_stats": state0.batch_stats}
     base_eval, live, mem = eval_places(
-        model, vars0, args.places, hw, jax.random.key(5))
+        model, vars0, args.places, hw, jax.random.key(5),
+        severity=args.eval_severity)
     print(f"UNTRAINED PR-AUC: {base_eval['auc']:.4f}")
 
     n_dev = jax.device_count()
@@ -131,7 +136,8 @@ def main():
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     trained_eval, _, _ = eval_places(
-        model, variables, args.places, hw, jax.random.key(5))
+        model, variables, args.places, hw, jax.random.key(5),
+        severity=args.eval_severity)
     print(f"TRAINED PR-AUC: {trained_eval['auc']:.4f} "
           f"(lift {trained_eval['auc'] - base_eval['auc']:+.4f})")
 
@@ -218,6 +224,7 @@ def main():
         "pr_auc_gcalc2": float(g_auc),
         "loops_declared": n_declared, "loops_correct": correct,
         "loop_sim_threshold": thr,
+        "eval_severity": args.eval_severity,
         "train_steps_per_s": args.steps / max(train_s, 1e-9),
         "class_weights": load_weights(data_dir).tolist(),
     }

@@ -84,6 +84,33 @@ def test_ransac_pick_matrix_equals_per_pick_gather():
                                    rtol=1e-12, atol=1e-12)
 
 
+def test_mixed16_split_pht_matches_f32_reference(monkeypatch):
+    """EKF_PHT=mixed16 (bf16 split-H single-pass PHt) agrees with the
+    f32 dense P·Hᵀ to well below bf16 storage rounding: the two-term
+    split Hh + Hl carries ~16 mantissa bits, so the only error of the
+    same order as storage rounding is P's own bf16 quantization (shared
+    by both sides here)."""
+    from ekf_slam_tpu.filter import ekf
+    cap = 5
+    D = CAM_DIM + 6 * cap
+    M = 8
+    P32 = _rand_spd(jax.random.key(11), D, jnp.float32)
+    Pb = P32.astype(jnp.bfloat16)
+    H = jax.random.normal(jax.random.key(12), (M, D), jnp.float32)
+    z = jax.random.normal(jax.random.key(13), (M,), jnp.float32) * 0.1
+    h = jnp.zeros((M,), jnp.float32)
+    x = jax.random.normal(jax.random.key(14), (D,), jnp.float32)
+    mask = jnp.ones((M,), bool)
+    r = jnp.ones((M,), jnp.float32)
+
+    monkeypatch.setattr(ekf, "_PHT_FORM", "mixed16")
+    _, _, pht_mixed = ekf.update_gain(x, Pb, H, z, h, mask, r)
+    want = np.asarray(Pb.astype(jnp.float32) @ H.T)
+    got = np.asarray(pht_mixed)
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() < 2e-4 * scale
+
+
 def test_renorm_stripe_form_matches_full_transform():
     """T = I + (normJac − I) stripe adds == T P Tᵀ with the dense T."""
     from ekf_slam_tpu.filter import ekf

@@ -83,6 +83,24 @@ def test_hom_warp_identity_gradient():
                                atol=1e-4)
 
 
+def test_seasonal_change_severity():
+    """severity=0 through eval_view is the pre-existing behavior; the
+    seasonal model stays in range, is deterministic per key, and actually
+    perturbs the image (gain field + noise + occluders) at severity 1."""
+    key = jax.random.key(3)
+    imgs = jax.random.uniform(jax.random.key(4), (2, 32, 40, 3))
+    out0 = augment.eval_view(key, imgs, severity=0.0)
+    out0b = augment.eval_view(key, imgs)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(out0b))
+    out1 = augment.seasonal_change(jax.random.key(5), imgs, severity=1.0)
+    a = np.asarray(out1)
+    assert a.shape == imgs.shape
+    assert a.min() >= 0.0 and a.max() <= 1.0
+    assert np.abs(a - np.asarray(imgs)).mean() > 0.02
+    out1b = augment.seasonal_change(jax.random.key(5), imgs, severity=1.0)
+    np.testing.assert_array_equal(a, np.asarray(out1b))
+
+
 def test_hard_negative_excludes_self():
     d = jnp.eye(4)  # orthogonal descriptors
     dn = losses.hard_negative_mine(d)
