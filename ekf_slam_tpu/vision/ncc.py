@@ -47,23 +47,43 @@ def ncc_scores(window: jnp.ndarray, template: jnp.ndarray) -> jnp.ndarray:
     """Zero-mean NCC of `template` (t, t) against every offset of `window`
     ((t+2R) x (t+2R)) -> (2R+1, 2R+1) scores in [-1, 1] (crosscorr.m:14-27).
     """
-    t = template.shape[-1]
-    R2 = window.shape[-1] - t + 1
-    tm = template - jnp.mean(template)
-    tnorm = jnp.sqrt(jnp.sum(tm * tm) + 1e-12)
+    return ncc_scores_all(window[None], template[None])[0]
 
-    # All sliding patches: (R2, R2, t, t) via gather of static offsets.
-    idx = jnp.arange(R2)
-    patches = jax.vmap(
-        lambda dv: jax.vmap(
-            lambda du: jax.lax.dynamic_slice(window, (dv, du), (t, t))
-        )(idx)
-    )(idx)
-    pmean = jnp.mean(patches, axis=(-2, -1), keepdims=True)
-    pm = patches - pmean
-    pnorm = jnp.sqrt(jnp.sum(pm * pm, axis=(-2, -1)) + 1e-12)
-    corr = jnp.einsum("abij,ij->ab", pm, tm)
-    return corr / (pnorm * tnorm)
+
+def ncc_scores_all(windows: jnp.ndarray,
+                   templates: jnp.ndarray) -> jnp.ndarray:
+    """Zero-mean NCC of per-feature templates (C, t, t) against every
+    offset of per-feature windows (C, t+2R, t+2R) -> (C, 2R+1, 2R+1).
+
+    Fast-NCC formulation: the numerator is a grouped VALID convolution of
+    the windows with the zero-mean templates (patch means drop out because
+    Σ tm = 0), and the per-offset patch norms come from box-filter
+    convolutions of the window and its square — no (R2, R2, t, t) patch
+    materialization (the previous sliding-gather form materialized 27 GB
+    at the pixels-bench operating point B=64, CAP=100, R=12, t=13)."""
+    C, t, _ = templates.shape
+    n = t * t
+    dt = windows.dtype
+    tm = templates - jnp.mean(templates, axis=(-2, -1), keepdims=True)
+    tnorm = jnp.sqrt(jnp.sum(tm * tm, axis=(-2, -1)) + 1e-12)   # (C,)
+
+    lhs = windows.transpose(1, 2, 0)[None]              # (1, W, W, C)
+    dn = jax.lax.conv_dimension_numbers(
+        lhs.shape, (t, t, 1, C), ("NHWC", "HWIO", "NHWC"))
+
+    def gconv(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), "VALID", dimension_numbers=dn,
+            feature_group_count=C,
+            precision=jax.lax.Precision.HIGHEST)[0]     # (R2, R2, C)
+
+    corr = gconv(lhs, tm.transpose(1, 2, 0)[:, :, None, :])
+    ones = jnp.ones((t, t, 1, C), dt)
+    box = gconv(lhs, ones)
+    sq = gconv(lhs * lhs, ones)
+    var = jnp.maximum(sq - box * box / n, 0.0)
+    scores = corr / (jnp.sqrt(var + 1e-12) * tnorm[None, None, :])
+    return scores.transpose(2, 0, 1)                    # (C, R2, R2)
 
 
 def crosscorr(a: jnp.ndarray, b: jnp.ndarray, svd: bool = False):

@@ -58,6 +58,29 @@ def test_binary_descriptor_matches_same_patch():
     assert float(jnp.min(off_diag)) > 40.0
 
 
+def test_ncc_conv_form_matches_patch_gather_reference():
+    """The box-filter/grouped-conv fast-NCC (ncc_scores_all) equals the
+    naive all-sliding-patches zero-mean NCC it replaced."""
+    key = jax.random.key(17)
+    C, R, t = 3, 5, 9
+    W = t + 2 * R
+    wins = jax.random.uniform(key, (C, W, W))
+    tmpls = jax.random.uniform(jax.random.key(18), (C, t, t))
+    got = np.asarray(ncc.ncc_scores_all(wins, tmpls))
+    for c in range(C):
+        win, tm = np.asarray(wins[c]), np.asarray(tmpls[c])
+        tmz = tm - tm.mean()
+        tn = np.sqrt((tmz * tmz).sum() + 1e-12)
+        want = np.zeros((2 * R + 1, 2 * R + 1))
+        for dv in range(2 * R + 1):
+            for du in range(2 * R + 1):
+                p = win[dv:dv + t, du:du + t]
+                pz = p - p.mean()
+                pn = np.sqrt((pz * pz).sum() + 1e-12)
+                want[dv, du] = (pz * tmz).sum() / (pn * tn)
+        np.testing.assert_allclose(got[c], want, atol=2e-5)
+
+
 def test_ncc_finds_shifted_template():
     img = blob_image()
     tmpl = img[20 - 6:20 + 7, 30 - 6:30 + 7]    # 13x13 around the blob
