@@ -66,6 +66,14 @@ _PHT_FORM = os.environ.get("EKF_PHT", "dense")
 # agrees to 1.5e-15 (docs/BENCH.md round 2).
 _SYM = os.environ.get("EKF_SYM", "stacked")
 
+# Covariance-tail form: "folded" folds the quaternion-renorm transform
+# T = I ⊕ J4 into the SAME rank-(2M+8) downdate dot (P⁺ = P + Ā·B̄ᵀ, one
+# full-P read + one write, no post-hoc stripe rewrites of P), "split"
+# runs the stacked downdate dot then the renorm stripe adds as separate
+# full-P passes. Mathematically identical (test_layout_forms pins the
+# fold to the dense T·M·Tᵀ).
+_TAIL = os.environ.get("EKF_TAIL", "folded")
+
 # Attribution-only sub-update ablation tokens (share the EKF_ABLATE env
 # list with engine.py's stage tokens; docs/BENCH.md methodology — only the
 # real bench harness times reliably on the tunneled backend, so update
@@ -235,6 +243,40 @@ def update(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray, z: jnp.ndarray,
         x_new = x_new.at[3:7].set(
             x_new[3:7] / jnp.linalg.norm(x_new[3:7]))
         return x_new, P_new
+    if _TAIL == "folded" and _SYM == "stacked" and "renorm" not in _ABLATE:
+        # The ENTIRE covariance tail — symmetric downdate AND quaternion-
+        # renorm covariance correction (update.m:13-24) — as ONE
+        # rank-(2M+8) correction dot over P:
+        #
+        #   P⁺ = T·(P − ½ABᵀ)·Tᵀ with T = I + C, C = E₄·G·E₄ᵀ,
+        #        G = normJac(q) − I₄, E₄ = one-hot rows 3:7
+        #      = P + Ā·B̄ᵀ
+        #   Ā = [−½A | E₄ | W + E₄·(G·M₄₄·Gᵀ)],  B̄ = [B | W | E₄]
+        #   M₄ = rows 3:7 of M = P₄ − ½A₄Bᵀ (4,D);  M₄₄ = M₄[:,3:7];
+        #   W = M₄ᵀGᵀ (D,4)
+        #
+        # using M = Mᵀ (P enters symmetric, ABᵀ symmetric). The split
+        # form pays the downdate write PLUS renorm stripe rewrites of the
+        # full matrix; this form touches P once each way, with the add
+        # and storage cast fusing into the dot's consumer.
+        dtype = x.dtype
+        A = jnp.concatenate([K, PHt], axis=1)              # (D, 2M')
+        B = jnp.concatenate([PHt, K], axis=1)
+        D = P.shape[0]
+        q = x_new[3:7]
+        G = quat.norm_jac(q) - jnp.eye(4, dtype=dtype)
+        P4 = p_compute(P[3:7, :])                          # (4, D)
+        M4 = P4 - 0.5 * (A[3:7, :] @ B.T)                  # (4, D)
+        M44 = M4[:, 3:7]
+        W = M4.T @ G.T                                     # (D, 4)
+        E4 = jnp.zeros((D, 4), dtype).at[3:7, :].set(
+            jnp.eye(4, dtype=dtype))
+        A_f = jnp.concatenate(
+            [-0.5 * A, E4, W + E4 @ (G @ M44 @ G.T)], axis=1)
+        B_f = jnp.concatenate([B, W, E4], axis=1)
+        P_new = p_compute(P) + A_f @ B_f.T
+        x_new = x_new.at[3:7].set(q / jnp.linalg.norm(q))
+        return x_new, p_store(P_new, P)
     if _SYM == "stacked":
         # Symmetric downdate as ONE stacked dot: K·PHtᵀ + PHt·Kᵀ =
         # [K|PHt]·[PHt|K]ᵀ — no full-P transpose (which pays a full-P

@@ -84,6 +84,36 @@ def test_ransac_pick_matrix_equals_per_pick_gather():
                                    rtol=1e-12, atol=1e-12)
 
 
+def test_folded_tail_matches_split_update(monkeypatch):
+    """EKF_TAIL=folded (renorm transform folded into the rank-(2M+8)
+    downdate dot) equals the split stacked-downdate + stripe-renorm
+    update exactly (float64)."""
+    from ekf_slam_tpu.filter import ekf
+    cap = 4
+    D = CAM_DIM + 6 * cap
+    M = 6
+    P = _rand_spd(jax.random.key(20), D)
+    H = jax.random.normal(jax.random.key(21), (M, D), jnp.float64) * 0.3
+    z = jax.random.normal(jax.random.key(22), (M,), jnp.float64) * 0.05
+    h = jnp.zeros((M,), jnp.float64)
+    x = jax.random.normal(jax.random.key(23), (D,), jnp.float64)
+    x = x.at[3:7].set(x[3:7] / jnp.linalg.norm(x[3:7]) * 1.02)
+    mask = jnp.arange(M) < 5
+    r = jnp.ones((M,), jnp.float64)
+
+    monkeypatch.setattr(ekf, "_TAIL", "split")
+    x_split, P_split = ekf.update(x, P, H, z, h, mask, r)
+    monkeypatch.setattr(ekf, "_TAIL", "folded")
+    x_fold, P_fold = ekf.update(x, P, H, z, h, mask, r)
+
+    np.testing.assert_allclose(np.asarray(x_fold), np.asarray(x_split),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(P_fold), np.asarray(P_split),
+                               rtol=1e-10, atol=1e-10)
+    asym = np.abs(np.asarray(P_fold) - np.asarray(P_fold).T).max()
+    assert asym < 1e-10
+
+
 def test_mixed16_split_pht_matches_f32_reference(monkeypatch):
     """EKF_PHT=mixed16 (bf16 split-H single-pass PHt) agrees with the
     f32 dense P·Hᵀ to well below bf16 storage rounding: the two-term
