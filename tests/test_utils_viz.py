@@ -179,3 +179,50 @@ def test_coco_adapter_gated():
     except ImportError:
         with pytest.raises(ImportError, match="pycocotools"):
             coco_mod._require_pycocotools()
+
+
+def test_local_descriptor_projections_and_plot(tmp_path):
+    """show_local_descr analog (test_net.py:383-478): PCA-projected local
+    descriptor directions are unit vectors; identical database/positive
+    images align exactly; the plot writes a PNG."""
+    import jax
+    from ekf_slam_tpu.models import train
+    from ekf_slam_tpu.models.vss import VSSConfig
+    from ekf_slam_tpu.viz.descriptors import (LinearPCA,
+                                              local_descriptor_projections,
+                                              plot_local_descriptors)
+
+    model = train.create_model(VSSConfig(width=8))
+    tcfg = train.TrainConfig(batch_size=2, image_hw=(32, 32))
+    state = train.init_state(model, tcfg, jax.random.key(0))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    rng = np.random.default_rng(0)
+    train_ims = rng.random((5, 32, 32, 3), np.float32)
+    db = rng.random((32, 32, 3), np.float32)
+    neg = rng.random((32, 32, 3), np.float32)
+    triplet = np.stack([db, db, neg])  # positive == database exactly
+
+    proj = local_descriptor_projections(model, variables, triplet,
+                                        train_ims)
+    assert set(proj) == {"appearance", "building", "vegetation"}
+    for v in proj.values():
+        assert v.shape == (3, 2)
+        np.testing.assert_allclose(np.linalg.norm(v, axis=-1), 1.0,
+                                   rtol=1e-6)
+        # database and positive are the same image -> same direction
+        np.testing.assert_allclose(v[0], v[1], atol=1e-9)
+
+    out = plot_local_descriptors(proj, str(tmp_path / "descr.png"),
+                                 order=["building", "vegetation",
+                                        "appearance"])
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+
+    # LinearPCA == classic PCA: projections reproduce centered data in the
+    # top-2 subspace for rank-2 data.
+    X = rng.random((6, 2), np.float64) @ np.array([[1.0, 0.5, 0.0],
+                                                   [0.0, 1.0, 2.0]])
+    p = LinearPCA(2).fit(X)
+    Y = p.transform(X)
+    Xr = Y @ p.components + p.mean
+    np.testing.assert_allclose(Xr, X, atol=1e-9)
