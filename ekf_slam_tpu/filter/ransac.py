@@ -21,6 +21,8 @@ with residual threshold = σ_z (ransac_hypotheses.m:6).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -29,6 +31,15 @@ from ekf_slam_tpu.filter import association
 from ekf_slam_tpu.filter.ekf import f32_matmuls as _f32
 from ekf_slam_tpu.ops import camera as cam_ops
 from ekf_slam_tpu.ops import quaternion as quat
+
+# Support-scoring layout: "soa" evaluates ALL hypotheses on (CAP, NHYP)
+# structure-of-arrays slices of the (D, NHYP) hypothesis matrix — no
+# intermediate carries a trailing 2/3/6 dim, which under the vmapped
+# form padded to 128 lanes on TPU and materialized GB-scale dot inputs
+# (v @ R_wc inputs are (B,NHYP,CAP,3): 43x HBM blowup — the same
+# padded-minor-dim class as docs/BENCH.md round 2). "vmap" keeps the
+# per-hypothesis form for A/B; test_ransac pins soa == vmap.
+_FORM = os.environ.get("EKF_RANSAC", "soa")
 
 
 def sample_ic_indices(key: jax.Array, ic_mask: jnp.ndarray,
@@ -66,6 +77,71 @@ def support_projection(x_hyp: jnp.ndarray, cartesian: jnp.ndarray,
     hz = jnp.where(hc[:, 2] == 0, jnp.ones_like(hc[:, 2]), hc[:, 2])
     hc = hc.at[:, 2].set(hz)
     return cam_ops.distort(cam_ops.project(hc, cam), cam)
+
+
+def support_residuals_soa(x_hyps: jnp.ndarray, z: jnp.ndarray,
+                          cartesian: jnp.ndarray,
+                          cfg: EngineConfig) -> jnp.ndarray:
+    """Squared reprojection residuals of every slot under every
+    hypothesis, structure-of-arrays: x_hyps (D, N) -> res2 (CAP, N).
+
+    Same math as support_projection (compute_hypothesis_support_fast.m
+    reprojection, q2r / m.m / hu.m / distort_fm.m unrolled per
+    component); every intermediate is (CAP, N) or (N,) — TPU-tile
+    friendly, nothing to pad."""
+    cap = cartesian.shape[0]
+    cam = cfg.camera
+    dt = x_hyps.dtype
+    m = x_hyps[CAM_DIM:, :]                              # (6*CAP, N)
+    yx, yy, yz = m[0::6], m[1::6], m[2::6]               # (CAP, N)
+    az, el, rho = m[3::6], m[4::6], m[5::6]
+    tx, ty, tz = x_hyps[0], x_hyps[1], x_hyps[2]         # (N,)
+    qr, qx, qy, qz = x_hyps[3], x_hyps[4], x_hyps[5], x_hyps[6]
+
+    # m(θ,φ) = [cosφ sinθ, −sinφ, cosφ cosθ] (m.m:1-16)
+    cphi = jnp.cos(el)
+    mx, my, mz = cphi * jnp.sin(az), -jnp.sin(el), cphi * jnp.cos(az)
+    dx, dy, dz = yx - tx, yy - ty, yz - tz
+    cart = cartesian[:, None]
+    vx = jnp.where(cart, dx, dx * rho + mx)
+    vy = jnp.where(cart, dy, dy * rho + my)
+    vz = jnp.where(cart, dz, dz * rho + mz)
+
+    # hc = R_wcᵀ v, R elements from the Davison q2r form (q2r.m:1-10).
+    r00 = qr * qr + qx * qx - qy * qy - qz * qz
+    r11 = qr * qr - qx * qx + qy * qy - qz * qz
+    r22 = qr * qr - qx * qx - qy * qy + qz * qz
+    r01, r10 = 2 * (qx * qy - qr * qz), 2 * (qx * qy + qr * qz)
+    r02, r20 = 2 * (qz * qx + qr * qy), 2 * (qz * qx - qr * qy)
+    r12, r21 = 2 * (qy * qz - qr * qx), 2 * (qy * qz + qr * qx)
+    hx = vx * r00 + vy * r10 + vz * r20
+    hy = vx * r01 + vy * r11 + vz * r21
+    hz = vx * r02 + vy * r12 + vz * r22
+    hz = jnp.where(hz == 0, jnp.ones_like(hz), hz)       # dead slots
+
+    # hu.m pinhole + distort_fm.m Newton, per component.
+    fku = jnp.asarray(cam.f / cam.d, dt)
+    uu = (hx / hz) * fku                                 # centered*d/d
+    vv = (hy / hz) * fku
+    d = jnp.asarray(cam.d, dt)
+    k1 = jnp.asarray(cam.k1, dt)
+    k2 = jnp.asarray(cam.k2, dt)
+    xu, yu = uu * d, vv * d
+    ru = jnp.sqrt(xu * xu + yu * yu)
+    rd = ru / (1.0 + k1 * ru**2 + k2 * ru**4)
+
+    def newton(_, rd):
+        f = rd + k1 * rd**3 + k2 * rd**5 - ru
+        fp = 1.0 + 3.0 * k1 * rd**2 + 5.0 * k2 * rd**4
+        return rd - f / fp
+
+    rd = jax.lax.fori_loop(0, cam.distort_newton_iters, newton, rd)
+    D = 1.0 + k1 * rd**2 + k2 * rd**4
+    ud = xu / (D * d) + cam.cx
+    vd = yu / (D * d) + cam.cy
+    du = z[:, 0:1] - ud
+    dv = z[:, 1:2] - vd
+    return du * du + dv * dv                             # (CAP, N)
 
 
 @_f32
@@ -110,6 +186,15 @@ def run(x: jnp.ndarray, P: jnp.ndarray, z: jnp.ndarray, h: jnp.ndarray,
     onehot = jax.nn.one_hot(picks, cap, dtype=x.dtype)    # (NHYP, CAP)
     A = jnp.einsum("nc,nj->cjn", onehot, w_p).reshape(2 * cap, nhyp)
     x_hyps = x[:, None] + apply_picks(A)                  # (D, NHYP)
+
+    if _FORM == "soa":
+        res2 = support_residuals_soa(x_hyps, z, cartesian, cfg)  # (CAP, N)
+        inliers = ic_mask[:, None] & (res2 < thr * thr)
+        supports = jnp.sum(inliers, axis=0)                      # (N,)
+        best = jnp.argmax(supports)
+        any_ic = jnp.any(ic_mask)
+        li_mask = inliers[:, best] & any_ic
+        return li_mask, jnp.where(any_ic, supports[best], 0)
 
     def one_hypothesis(x_hyp):
         h_all = support_projection(x_hyp, cartesian, cfg)

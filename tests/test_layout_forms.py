@@ -156,3 +156,36 @@ def test_renorm_stripe_form_matches_full_transform():
     np.testing.assert_allclose(
         np.asarray(x_new[3:7]),
         np.asarray(x[3:7] / jnp.linalg.norm(x[3:7])), rtol=1e-12)
+
+
+def test_ransac_soa_support_matches_vmap_projection():
+    """EKF_RANSAC=soa (all-hypothesis (CAP,N) component form) equals the
+    per-hypothesis support_projection residuals (float64)."""
+    from ekf_slam_tpu.config import EngineConfig, MapConfig
+    from ekf_slam_tpu.filter import ransac
+
+    cap, nhyp = 9, 5
+    cfg = EngineConfig(map=MapConfig(capacity=cap))
+    D = CAM_DIM + 6 * cap
+    key = jax.random.key(30)
+    x_hyps = jax.random.normal(key, (D, nhyp), jnp.float64)
+    # unit quaternions per hypothesis, plausible geometry
+    q = x_hyps[3:7]
+    x_hyps = x_hyps.at[3:7].set(q / jnp.linalg.norm(q, axis=0))
+    # keep slot points in front of the camera-ish
+    x_hyps = x_hyps.at[CAM_DIM + 2::6].add(8.0)
+    x_hyps = x_hyps.at[CAM_DIM + 5::6].set(
+        jnp.abs(x_hyps[CAM_DIM + 5::6]) + 0.2)
+    z = jax.random.uniform(jax.random.key(31), (cap, 2), jnp.float64,
+                           20.0, 300.0)
+    cartesian = jnp.arange(cap) % 2 == 0
+
+    res2_soa = ransac.support_residuals_soa(x_hyps, z, cartesian, cfg)
+
+    def one(x_hyp):
+        h_all = ransac.support_projection(x_hyp, cartesian, cfg)
+        return jnp.sum((z - h_all) ** 2, axis=-1)
+
+    res2_ref = jax.vmap(one, in_axes=1, out_axes=1)(x_hyps)
+    np.testing.assert_allclose(np.asarray(res2_soa), np.asarray(res2_ref),
+                               rtol=1e-9, atol=1e-9)
