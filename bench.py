@@ -120,7 +120,7 @@ def main():
             # mega-kernels (4277 vs 4232, docs/BENCH.md r2) and honors
             # the EKF_* attribution knobs.
             fused_step=os.environ.get("BENCH_FUSED", "off"),
-            pallas_update=os.environ.get("BENCH_PALLAS", "auto"),
+            pallas_update=os.environ.get("BENCH_PALLAS", "off"),
             p_storage=os.environ.get("BENCH_PSTORE", "bf16")),
         map=MapConfig(capacity=cap, min_features_in_image=25,
                       max_new_per_step=10,

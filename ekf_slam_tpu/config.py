@@ -84,8 +84,11 @@ class FilterConfig:
     use_iterated_update: bool = False
     iekf_iterations: int = 3
     # Fused Pallas covariance-update kernel: "auto" uses it on TPU-class
-    # backends (float32 only), "on"/"off" force it.
-    pallas_update: str = "auto"
+    # backends (float32 only), "on"/"off" force it. Default OFF since the
+    # folded XLA tail (ekf.update EKF_TAIL=folded) measured faster in both
+    # parity (5624.8 vs 5171.2) and fast modes (docs/BENCH.md round 2);
+    # the kernel stays for A/B.
+    pallas_update: str = "off"
     # Gain solver for S⁻¹: "cholesky" (exact; sequential triangular work) or
     # "newton" (Newton-Schulz, pure MXU; ~1e-6 relative accuracy at f32 —
     # see ekf._spd_inverse_newton)

@@ -74,6 +74,11 @@ _SYM = os.environ.get("EKF_SYM", "stacked")
 # fold to the dense T·M·Tᵀ).
 _TAIL = os.environ.get("EKF_TAIL", "folded")
 
+# EKF_TAIL16=1: run the folded correction dot as a single DEFAULT-
+# precision bf16 pass when P is STORED bf16 (fast mode only; A/B knob,
+# accuracy-gated by bench.py + tools/check_tpu_numerics.py).
+_TAIL16 = os.environ.get("EKF_TAIL16", "0") == "1"
+
 # Attribution-only sub-update ablation tokens (share the EKF_ABLATE env
 # list with engine.py's stage tokens; docs/BENCH.md methodology — only the
 # real bench harness times reliably on the tunneled backend, so update
@@ -274,7 +279,20 @@ def update(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray, z: jnp.ndarray,
         A_f = jnp.concatenate(
             [-0.5 * A, E4, W + E4 @ (G @ M44 @ G.T)], axis=1)
         B_f = jnp.concatenate([B, W, E4], axis=1)
-        P_new = p_compute(P) + A_f @ B_f.T
+        if _TAIL16 and P.dtype == jnp.bfloat16:
+            # bf16 fast mode only: the correction dot as ONE DEFAULT-
+            # precision bf16 MXU pass (vs 3 tensorfloat32 passes). The
+            # factor rounding injects ~2^-8 relative error of the
+            # CORRECTION — the same order as the bf16 store rounding of
+            # P itself, so fast-mode accuracy gates still bind.
+            corr = jax.lax.dot_general(
+                A_f.astype(jnp.bfloat16), B_f.astype(jnp.bfloat16).T,
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=jnp.float32)
+            P_new = p_compute(P) + corr
+        else:
+            P_new = p_compute(P) + A_f @ B_f.T
         x_new = x_new.at[3:7].set(q / jnp.linalg.norm(q))
         return x_new, p_store(P_new, P)
     if _SYM == "stacked":

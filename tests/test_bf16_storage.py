@@ -66,3 +66,24 @@ def test_bf16_storage_vmap_and_fused_gate():
     final, traj, _ = jax.vmap(
         lambda s, k: engine.run_sequence(s, obs, k, cfg16))(stb, keys)
     assert bool(jnp.all(jnp.isfinite(traj)))
+
+
+def test_tail16_single_pass_contract(monkeypatch):
+    """EKF_TAIL16=1 (single DEFAULT-precision bf16 folded-correction dot,
+    bf16 storage only): finite, PSD-ish, and within ~4x of the f32 run's
+    trajectory error. MEASURED to double the fast mode's drift (factor
+    rounding of the correction) — that is why it defaults OFF; this test
+    pins the degraded-but-bounded contract, not fast-mode accuracy."""
+    from ekf_slam_tpu.filter import ekf
+
+    monkeypatch.setattr(ekf, "_TAIL16", True)
+    cfg16 = _cfg("bf16")
+    xs, final16, traj16, _ = _run(cfg16)
+    assert bool(jnp.all(jnp.isfinite(traj16)))
+    err16 = np.linalg.norm(np.asarray(traj16[:, :3] - xs[:, :3]), axis=-1)
+    monkeypatch.setattr(ekf, "_TAIL16", False)
+    _, _, traj32, _ = _run(_cfg("f32"))
+    err32 = np.linalg.norm(np.asarray(traj32[:, :3] - xs[:, :3]), axis=-1)
+    assert err16.mean() < max(4.0 * err32.mean(), 0.15)
+    diag = np.asarray(jnp.diagonal(final16.P.astype(jnp.float32)))
+    assert (diag >= -1e-3).all()
