@@ -180,6 +180,9 @@ def update_gain(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray,
         # residual ~2^-16 relative, far below the 2^-8 storage rounding
         # of P itself). The f32-emulated alternative upcasts P and pays
         # 3 passes, one of which multiplies the upcast's ZERO lo-split.
+        # WARNING: unit-pinned on CPU but measured NON-FINITE in the real
+        # engine on TPU (chain r2c, docs/BENCH.md) — do NOT enable in
+        # production; kept for numerics investigation only.
         Hh = H.astype(jnp.bfloat16)
         Hl = (H - Hh.astype(jnp.float32)).astype(jnp.bfloat16)
         Hcat = jnp.concatenate([Hh, Hl], axis=0)           # (2M', D)
