@@ -74,6 +74,13 @@ _SYM = os.environ.get("EKF_SYM", "stacked")
 # fold to the dense T·M·Tᵀ).
 _TAIL = os.environ.get("EKF_TAIL", "folded")
 
+# Update operand layout: "rows" routes the non-fused engine through
+# update_rows/pht_rows_split — ONE shared row-form H·P read per update
+# phase feeds the S gates, RANSAC and the update, and nothing
+# materializes a (D, k) tall-skinny or a full-P transpose (docs/BENCH.md
+# round-2 HLO findings). "cols" is the previous column-form path (A/B).
+_UPDATE = os.environ.get("EKF_UPDATE", "rows")
+
 # EKF_TAIL16=1: run the folded correction dot as a single DEFAULT-
 # precision bf16 pass when P is STORED bf16 (fast mode only; A/B knob,
 # accuracy-gated by bench.py + tools/check_tpu_numerics.py).
@@ -315,6 +322,78 @@ def update(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray, z: jnp.ndarray,
             x_new[3:7] / jnp.linalg.norm(x_new[3:7]))
     else:
         x_new, P_new = _renormalize_quaternion(x_new, P_new)
+    return x_new, p_store(P_new, P)
+
+
+@f32_matmuls
+def update_rows(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray,
+                HP: jnp.ndarray, z: jnp.ndarray, h: jnp.ndarray,
+                row_mask: jnp.ndarray, r_diag: jnp.ndarray,
+                gain_solver: str = "cholesky"):
+    """Masked EKF update in ROW form — the TPU-shaped twin of `update`
+    (update.m:1-32, identical math; tests/test_layout_forms.py pins f64
+    agreement to 1e-10).
+
+    H (2M, D): dense measurement rows (any row order — the update is
+    permutation invariant; engine uses block order u-rows;v-rows).
+    HP (2M, D): H·P rows (= (P·Hᵀ)ᵀ by symmetry of P), typically gathered
+    from measurement.pht_rows_split — the caller's ONE full-P product
+    read per update.
+
+    Why rows: every operand stays (rows, D) with the big dim minor —
+    S = HP·Hᵀ and the correction factors contract over ROWS, so nothing
+    materializes a tall-skinny (D, k) array (k = 2M/192/200 all tile-pad)
+    and no [K|PHt]-style width-2M concats or full-P transposes exist.
+    The Kalman gain K = PHtS⁻¹ is never materialized: the state moves by
+    (HP)ᵀ·(W·ν) and the covariance by the symmetric rank-2M downdate
+    −(HP)ᵀ·½(W+Wᵀ)·HP, folded with the quaternion-renorm correction into
+    ONE rank-(2M+8) dot against P (the EKF_TAIL=folded scheme of
+    `update`, re-derived for row operands)."""
+    dtype = x.dtype
+    mask = row_mask.astype(dtype)
+    H = H * mask[:, None]
+    HP = (jnp.zeros_like(HP) if "pht" in _ABLATE
+          else HP * mask[:, None])
+    nu = (z - h) * mask
+    r_eff = jnp.where(row_mask, r_diag, jnp.ones_like(r_diag))
+    S = jax.lax.dot_general(
+        HP, H, (((1,), (1,)), ((), ()))) + jnp.diag(r_eff)   # (2M, 2M)
+    if "gain" in _ABLATE:
+        W = jnp.eye(S.shape[-1], dtype=dtype)
+    else:
+        W = (_spd_inverse_newton(S) if gain_solver == "newton"
+             else _spd_inverse(S))
+    x_new = x + jnp.einsum("md,m->d", HP, W @ nu)
+    if "tail" in _ABLATE:
+        x_new = x_new.at[3:7].set(
+            x_new[3:7] / jnp.linalg.norm(x_new[3:7]))
+        return x_new, P
+    Wbar = 0.5 * (W + W.T)
+    N = Wbar @ HP                                            # (2M, D)
+    q = x_new[3:7]
+    if "renorm" in _ABLATE:
+        corr = jax.lax.dot_general(HP, N, (((0,), (0,)), ((), ())))
+        P_new = p_compute(P) - corr
+        x_new = x_new.at[3:7].set(q / jnp.linalg.norm(q))
+        return x_new, p_store(P_new, P)
+    # Folded tail, row operands: P⁺ = T(P − (HP)ᵀN)Tᵀ = P + ĀᵀᵀB̄ᵀ with
+    # Āᵀ = [−N ; E₄ᵀ ; G·M₄ + (G·M₄₄·Gᵀ)·E₄ᵀ], B̄ᵀ = [HP ; G·M₄ ; E₄ᵀ],
+    # M₄ = rows 3:7 of P − (HP)ᵀN, G = normJac(q) − I₄ (see `update`).
+    D = P.shape[0]
+    G = quat.norm_jac(q) - jnp.eye(4, dtype=dtype)
+    corr4 = -jax.lax.dot_general(
+        HP[:, 3:7], N, (((0,), (0,)), ((), ())))             # (4, D)
+    M4 = p_compute(P[3:7, :]) + corr4
+    M44 = M4[:, 3:7]
+    W2T = G @ M4                                             # (4, D)
+    E4T = jnp.zeros((4, D), dtype).at[:, 3:7].set(
+        jnp.eye(4, dtype=dtype))
+    At = jnp.concatenate(
+        [-N, E4T, W2T + (G @ M44 @ G.T) @ E4T], axis=0)      # (2M+8, D)
+    Bt = jnp.concatenate([HP, W2T, E4T], axis=0)
+    P_new = p_compute(P) + jax.lax.dot_general(
+        At, Bt, (((0,), (0,)), ((), ())))
+    x_new = x_new.at[3:7].set(q / jnp.linalg.norm(q))
     return x_new, p_store(P_new, P)
 
 

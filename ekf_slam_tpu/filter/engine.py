@@ -142,18 +142,28 @@ def step_core_from_prior(state: FilterState, x_prior: jnp.ndarray,
 
     # -- 3. measurement prediction + IC gating (search_IC_matches/matching) --
     h, visible, H_xv, H_y = _linearize(x_prior, P_prior, state, cfg)[:4]
-    # share_pht: ONE per-slot gain-column read P Hᵀ (D, 2·CAP) feeds the
-    # per-slot S gates, RANSAC's one-matmul hypothesis apply, AND the LI
-    # update's compact PHt (a transpose-free column gather) — replacing
-    # three separate P reads. Invisible slots' pht columns are masked to
-    # zero, so their S degenerates to R alone; they are gated out of IC
-    # anyway (visible=False).
+    # Row-form sharing (EKF_UPDATE=rows, the default): ONE split row-form
+    # H·P read (measurement.pht_rows_split) per update phase feeds the
+    # per-slot S gates, RANSAC's hypothesis apply AND the update's
+    # (2M, D) H·P operand — replacing three separate P reads, with every
+    # intermediate a clean (CAP, D)/(2M, D) row array (no (D, 2·CAP)
+    # columns, no slot-diagonal flat gather; docs/BENCH.md round-2 HLO
+    # findings). share_pht keeps the older column-form sharing for A/B.
+    # Invisible slots' hp rows are masked to zero, so their S degenerates
+    # to R alone; they are gated out of IC anyway (visible=False).
+    rows_mode = ekf._UPDATE == "rows" and not f.share_pht \
+        and not f.use_iterated_update and not _use_pallas(cfg)
     vm = visible.astype(H_xv.dtype)[:, None, None]
+    hp = measurement.pht_rows_split(P_prior, H_xv * vm, H_y * vm) \
+        if rows_mode else None
     pht_all = measurement.pht_slots(P_prior, H_xv * vm, H_y * vm) \
         if f.share_pht else None
     if "s1" in _ABLATE:
         S = jnp.broadcast_to(jnp.eye(2, dtype=x_prior.dtype) * 4.0,
                              (cap, 2, 2))
+    elif hp is not None:
+        S = measurement.innovation_covariances_from_hp(
+            hp[0], hp[1], H_xv * vm, H_y * vm, f.sigma_z)
     elif pht_all is not None:
         S = measurement.innovation_covariances_from_pht(
             pht_all.reshape(-1, cap, 2), H_xv * vm, H_y * vm, f.sigma_z)
@@ -167,7 +177,7 @@ def step_core_from_prior(state: FilterState, x_prior: jnp.ndarray,
     else:
         li, support = ransac.run(
             x_prior, P_prior, z, h, H_xv * vm, H_y * vm, S, ic,
-            state.cartesian, key, cfg, pht=pht_all)
+            state.cartesian, key, cfg, pht=pht_all, hp=hp)
 
     # -- 5. LI update from the prior (ekf_update_li_inliers.m; R = I there).
     # With use_iterated_update the LI step relinearizes (Gauss-Newton IEKF,
@@ -177,6 +187,9 @@ def step_core_from_prior(state: FilterState, x_prior: jnp.ndarray,
     elif f.use_iterated_update:
         x_post, P_post = _masked_update_iterated(
             x_prior, P_prior, z, li, state, cfg)
+    elif rows_mode:
+        x_post, P_post = _masked_update_rows(
+            x_prior, P_prior, hp, H_xv, H_y, z, h, li, cfg)
     else:
         x_post, P_post = _masked_update(
             x_prior, P_prior, H_xv, H_y, z, h, li, cfg, pht_all=pht_all)
@@ -186,12 +199,17 @@ def step_core_from_prior(state: FilterState, x_prior: jnp.ndarray,
         h2, vis2, H_xv2, H_y2 = h, visible, H_xv, H_y
     else:
         h2, vis2, H_xv2, H_y2 = _linearize(x_post, P_post, state, cfg)[:4]
-    # share_pht: the posterior gain columns feed BOTH the rescue gates'
-    # S (R=0 here, rescue_hi_inliers.m:13) and the HI update.
+    # The posterior gain rows/columns feed BOTH the rescue gates' S
+    # (R=0 here, rescue_hi_inliers.m:13) and the HI update.
     vm2 = vis2.astype(H_xv2.dtype)[:, None, None]
+    hp2 = measurement.pht_rows_split(P_post, H_xv2 * vm2, H_y2 * vm2) \
+        if rows_mode else None
     pht_all2 = measurement.pht_slots(P_post, H_xv2 * vm2, H_y2 * vm2) \
         if f.share_pht else None
-    if pht_all2 is not None:
+    if hp2 is not None:
+        S_noR = measurement.innovation_covariances_from_hp(
+            hp2[0], hp2[1], H_xv2 * vm2, H_y2 * vm2, 0.0)
+    elif pht_all2 is not None:
         S_noR = measurement.innovation_covariances_from_pht(
             pht_all2.reshape(-1, cap, 2), H_xv2 * vm2, H_y2 * vm2, 0.0)
     else:
@@ -201,6 +219,9 @@ def step_core_from_prior(state: FilterState, x_prior: jnp.ndarray,
     # -- 7. HI update from the posterior (ekf_update_hi_inliers.m; R = I) -----
     if "hi" in _ABLATE:
         pass
+    elif rows_mode:
+        x_post, P_post = _masked_update_rows(
+            x_post, P_post, hp2, H_xv2, H_y2, z, h2, hi, cfg)
     else:
         x_post, P_post = _masked_update(
             x_post, P_post, H_xv2, H_y2, z, h2, hi, cfg, pht_all=pht_all2)
@@ -402,6 +423,31 @@ def _masked_update(x, P, H_xv, H_y, z, h, slot_mask, cfg: EngineConfig,
         x, P, H, z[sel].reshape(-1), h[sel].reshape(-1),
         jnp.repeat(sel_mask, 2), jnp.ones(2 * M, x.dtype),
         use_pallas=use_pallas, gain_solver=solver, PHt=PHt)
+
+
+def _masked_update_rows(x, P, hp, H_xv, H_y, z, h, slot_mask,
+                        cfg: EngineConfig):
+    """Row-form _masked_update (EKF_UPDATE=rows): the (2M, D) H·P operand
+    is two contiguous row gathers of the split hp arrays (already
+    computed from this phase's P — no extra P read) stacked in BLOCK
+    order [u-rows; v-rows], matching compact_dense_H_block. Identical
+    math to _masked_update whenever the inlier count fits in M (row
+    permutation invariance; tests/test_layout_forms.py)."""
+    hp_u, hp_v = hp
+    cap = slot_mask.shape[0]
+    M = cfg.map.max_update_obs
+    if M <= 0 or M > cap:
+        M = cap
+    sel = jnp.argsort(~slot_mask)[:M]          # inlier slots first (stable)
+    sel_mask = slot_mask[sel]
+    Hc = measurement.compact_dense_H_block(
+        H_xv[sel], H_y[sel], sel, sel_mask, cap)
+    HP = jnp.concatenate([hp_u[sel], hp_v[sel]], axis=0)    # (2M, D)
+    zb = jnp.concatenate([z[sel, 0], z[sel, 1]])
+    hb = jnp.concatenate([h[sel, 0], h[sel, 1]])
+    return ekf.update_rows(
+        x, P, Hc, HP, zb, hb, jnp.tile(sel_mask, 2),
+        jnp.ones(2 * M, x.dtype), cfg.filter.gain_solver)
 
 
 def _use_pallas(cfg: EngineConfig) -> bool:

@@ -265,6 +265,89 @@ def pht_slots(P: jnp.ndarray, H_xv: jnp.ndarray,
 
 
 @_f32_matmuls
+def pht_rows_split(P: jnp.ndarray, H_xv: jnp.ndarray,
+                   H_y: jnp.ndarray):
+    """Row-form per-slot gain rows H·P, SPLIT by pixel component:
+    returns (hp_u, hp_v), each (CAP, D) with hp_comp[c] = H_{c,comp}·P.
+
+    The TPU-shaped variant of pht_slots/pht_slots_rows: every
+    intermediate is a clean 2-D (CAP, D) array — no (CAP, 2, D) batch
+    (whose (2, D) minor dims tile-pad 4x when materialized) and no
+    (D, 2·CAP) transposed assembly. The slot-block contraction
+    Σ_j H_y[c,·,j]·P[13+6c+j, :] is unrolled over j as six strided
+    MAJOR-dim row slices of P fused with multiply-adds — a single
+    natural-layout read of P's landmark rows, no gather, no dot with a
+    tiny contraction dim. P must be symmetric (it is: every producer
+    symmetrizes), so these rows equal pht_slots' columns
+    (tests/test_layout_forms.py pins both orderings).
+
+    H_xv (CAP,2,13) / H_y (CAP,2,6) must already carry any slot mask.
+    """
+    from ekf_slam_tpu.filter.ekf import p_compute
+    cam = p_compute(P[:CAM_DIM, :])                        # (13, D)
+    Pm = P[CAM_DIM:, :]                                    # (6CAP, D)
+    out = []
+    for comp in range(2):
+        acc = H_xv[:, comp, :] @ cam                       # (CAP, D)
+        for j in range(6):
+            rows_j = p_compute(Pm[j::6, :])                # (CAP, D) view
+            acc = acc + H_y[:, comp, j, None] * rows_j
+        out.append(acc)
+    return out[0], out[1]
+
+
+@_f32_matmuls
+def innovation_covariances_from_hp(hp_u: jnp.ndarray, hp_v: jnp.ndarray,
+                                   H_xv: jnp.ndarray, H_y: jnp.ndarray,
+                                   sigma_z: float):
+    """Per-slot S_i from the split row-form gain rows (pht_rows_split):
+    S_i[a,b] = hp_a[i]·H_{i,b} — the camera block is a 13-column slice,
+    the slot block a per-row 6-element take_along_axis — so the S gates
+    ride the hp rows already computed for RANSAC and the update instead
+    of re-reading P's diagonal blocks (the previous flat-index gather
+    materialized TWO full-P-sized reshape/layout copies per frame on
+    TPU). Returns (CAP, 2, 2). H blocks must carry the same mask as the
+    hp rows."""
+    cap = H_xv.shape[0]
+    cols = (CAM_DIM + 6 * jnp.arange(cap)[:, None]
+            + jnp.arange(6)[None, :])                      # (CAP, 6)
+    rows = []
+    for hp in (hp_u, hp_v):
+        t_cam = jnp.einsum("ck,cjk->cj", hp[:, :CAM_DIM], H_xv)
+        hpy = jnp.take_along_axis(hp, cols, axis=1)        # (CAP, 6)
+        t_slot = jnp.einsum("cp,cjp->cj", hpy, H_y)
+        rows.append(t_cam + t_slot)                        # (CAP, 2)
+    S = jnp.stack(rows, axis=1)                            # (CAP, 2, 2)
+    R = (sigma_z ** 2) * jnp.eye(2, dtype=S.dtype)
+    return S + R
+
+
+def compact_dense_H_block(H_xv: jnp.ndarray, H_y: jnp.ndarray,
+                          slots: jnp.ndarray, row_mask: jnp.ndarray,
+                          cap: int) -> jnp.ndarray:
+    """compact_dense_H in BLOCK row order: rows [0:M] are every selected
+    slot's u-component row, rows [M:2M] the v-component rows (instead of
+    interleaved u,v pairs). The EKF update is invariant to measurement
+    row permutations; block order lets the row-form update gather its
+    (2M, D) H·P operand as two contiguous (M, D) slices of the split hp
+    arrays with ONE major-dim concat — no (M, 2, D) interleave (whose
+    (2, D) minor dims tile-pad 4x). tests/test_layout_forms.py pins the
+    permutation equivalence."""
+    M = H_xv.shape[0]
+    dtype = H_xv.dtype
+    mask = row_mask.astype(dtype)[:, None]
+    onehot = jax.nn.one_hot(slots, cap, dtype=dtype)        # (M, CAP)
+    rows = []
+    for comp in range(2):
+        Hxv_c = H_xv[:, comp, :] * mask                     # (M, 13)
+        Hy_c = jnp.einsum("mc,mj->mcj", onehot,
+                          H_y[:, comp, :] * mask)           # (M, CAP, 6)
+        rows.append(jnp.concatenate(
+            [Hxv_c, Hy_c.reshape(M, 6 * cap)], axis=1))
+    return jnp.concatenate(rows, axis=0)                    # (2M, D)
+
+
+@_f32_matmuls
 def pht_compact_rows(P: jnp.ndarray, H_xv_sel: jnp.ndarray,
                      H_y_sel: jnp.ndarray, sel: jnp.ndarray,
                      sel_mask: jnp.ndarray) -> jnp.ndarray:

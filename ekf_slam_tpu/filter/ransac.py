@@ -148,14 +148,18 @@ def support_residuals_soa(x_hyps: jnp.ndarray, z: jnp.ndarray,
 def run(x: jnp.ndarray, P: jnp.ndarray, z: jnp.ndarray, h: jnp.ndarray,
         H_xv: jnp.ndarray, H_y: jnp.ndarray, S: jnp.ndarray,
         ic_mask: jnp.ndarray, cartesian: jnp.ndarray, key: jax.Array,
-        cfg: EngineConfig, pht: jnp.ndarray = None):
+        cfg: EngineConfig, pht: jnp.ndarray = None, hp=None):
     """Full 1-point RANSAC. Returns (li_mask, best_support).
 
     x, P: prior state/covariance. z/h/S: per-slot measurements, predictions
     and innovation covariances from the prior. H_xv (CAP,2,13) / H_y
     (CAP,2,6): per-slot Jacobian blocks. ic_mask: IC slots. pht: optional
     precomputed per-slot gain columns (D, 2·CAP) — the engine shares one
-    measurement.pht_slots result between RANSAC and the LI update.
+    measurement.pht_slots result between RANSAC and the LI update. hp:
+    optional split row-form (hp_u, hp_v), each (CAP, D), from
+    measurement.pht_rows_split (EKF_UPDATE=rows sharing) — takes
+    precedence over pht; the hypothesis apply becomes two (D, NHYP)
+    row-contraction dots, no (D, 2·CAP) columns ever built.
     """
     cap = ic_mask.shape[0]
     nhyp = cfg.ransac.num_hypotheses
@@ -163,7 +167,20 @@ def run(x: jnp.ndarray, P: jnp.ndarray, z: jnp.ndarray, h: jnp.ndarray,
 
     from ekf_slam_tpu.filter import ekf as _ekf
     from ekf_slam_tpu.filter import measurement
-    if pht is None and _ekf._PHT_FORM == "rows":
+    if hp is not None:
+        # Split row-form sharing: x_hyps = x + hp_uᵀ·A_u + hp_vᵀ·A_v,
+        # contracting each (CAP, D) hp block over its slot axis. A is
+        # laid out (CAP, 2, NHYP) flattened slot-major, so component c's
+        # coefficient rows are A[c::2] of the flat (2·CAP, NHYP) form.
+        hp_u, hp_v = hp
+
+        def apply_picks(A):
+            A3 = A.reshape(cap, 2, -1)
+            return (jax.lax.dot_general(hp_u, A3[:, 0, :],
+                                        (((0,), (0,)), ((), ())))
+                    + jax.lax.dot_general(hp_v, A3[:, 1, :],
+                                          (((0,), (0,)), ((), ()))))
+    elif pht is None and _ekf._PHT_FORM == "rows":
         # Symmetric row form: one natural-layout P read, no transposed-
         # layout copy of P (measurement.pht_slots_rows). (CAP, 2, D).
         pht2 = measurement.pht_slots_rows(P, H_xv, H_y).reshape(2 * cap, -1)

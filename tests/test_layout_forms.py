@@ -158,6 +158,122 @@ def test_renorm_stripe_form_matches_full_transform():
         np.asarray(x[3:7] / jnp.linalg.norm(x[3:7])), rtol=1e-12)
 
 
+def _rand_blocks(cap, kxv=40, ky=41):
+    H_xv = jax.random.normal(jax.random.key(kxv), (cap, 2, CAM_DIM),
+                             jnp.float64)
+    H_y = jax.random.normal(jax.random.key(ky), (cap, 2, 6), jnp.float64)
+    return H_xv, H_y
+
+
+def test_pht_rows_split_matches_pht_slots():
+    """Row c of hp_u/hp_v equals column 2c/2c+1 of the column-form
+    pht_slots (P symmetric ⇒ H·P rows = (P·Hᵀ)ᵀ columns)."""
+    cap = 6
+    D = CAM_DIM + 6 * cap
+    P = _rand_spd(jax.random.key(39), D)
+    H_xv, H_y = _rand_blocks(cap)
+    hp_u, hp_v = measurement.pht_rows_split(P, H_xv, H_y)
+    flat = measurement.pht_slots(P, H_xv, H_y)            # (D, 2·CAP)
+    np.testing.assert_allclose(np.asarray(hp_u),
+                               np.asarray(flat[:, 0::2].T),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(hp_v),
+                               np.asarray(flat[:, 1::2].T),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_innovation_covariances_from_hp_matches_direct():
+    """S_c from the split hp rows equals H_c·P·H_cᵀ + σ²I computed with
+    the dense per-slot H."""
+    cap = 5
+    D = CAM_DIM + 6 * cap
+    sigma = 1.3
+    P = _rand_spd(jax.random.key(42), D)
+    H_xv, H_y = _rand_blocks(cap, 43, 44)
+    hp_u, hp_v = measurement.pht_rows_split(P, H_xv, H_y)
+    S = measurement.innovation_covariances_from_hp(
+        hp_u, hp_v, H_xv, H_y, sigma)
+    for c in range(cap):
+        H = np.zeros((2, D))
+        H[:, :CAM_DIM] = np.asarray(H_xv[c])
+        H[:, CAM_DIM + 6 * c:CAM_DIM + 6 * c + 6] = np.asarray(H_y[c])
+        want = H @ np.asarray(P) @ H.T + sigma ** 2 * np.eye(2)
+        np.testing.assert_allclose(np.asarray(S[c]), want,
+                                   rtol=1e-11, atol=1e-11)
+
+
+def test_compact_dense_H_block_rows():
+    """Block-order compact H: row m is slot sel[m]'s u row, row M+m its
+    v row, masked rows zero."""
+    cap, M = 7, 4
+    H_xv, H_y = _rand_blocks(cap, 45, 46)
+    slots = jnp.array([3, 0, 6, 2])
+    mask = jnp.array([True, True, False, True])
+    Hc = measurement.compact_dense_H_block(
+        H_xv[slots], H_y[slots], slots, mask, cap)
+    D = CAM_DIM + 6 * cap
+    assert Hc.shape == (2 * M, D)
+    for m in range(M):
+        c = int(slots[m])
+        for comp in range(2):
+            want = np.zeros(D)
+            if bool(mask[m]):
+                want[:CAM_DIM] = np.asarray(H_xv[c, comp])
+                want[CAM_DIM + 6 * c:CAM_DIM + 6 * c + 6] = \
+                    np.asarray(H_y[c, comp])
+            np.testing.assert_allclose(
+                np.asarray(Hc[comp * M + m]), want, atol=1e-12)
+
+
+def test_update_rows_matches_update():
+    """ekf.update_rows (row-form operands, K never materialized) equals
+    ekf.update on the same measurement set in float64 — including the
+    folded quaternion-renorm tail and masked rows."""
+    from ekf_slam_tpu.filter import ekf
+    cap = 4
+    D = CAM_DIM + 6 * cap
+    M = 6
+    P = _rand_spd(jax.random.key(50), D)
+    H = jax.random.normal(jax.random.key(51), (M, D), jnp.float64) * 0.3
+    z = jax.random.normal(jax.random.key(52), (M,), jnp.float64) * 0.05
+    h = jnp.zeros((M,), jnp.float64)
+    x = jax.random.normal(jax.random.key(53), (D,), jnp.float64)
+    x = x.at[3:7].set(x[3:7] / jnp.linalg.norm(x[3:7]) * 1.02)
+    mask = jnp.arange(M) < 5
+    r = jnp.ones((M,), jnp.float64)
+
+    x_ref, P_ref = ekf.update(x, P, H, z, h, mask, r)
+    HP = (H * mask[:, None].astype(H.dtype)) @ P
+    x_row, P_row = ekf.update_rows(x, P, H, HP, z, h, mask, r)
+
+    np.testing.assert_allclose(np.asarray(x_row), np.asarray(x_ref),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(P_row), np.asarray(P_ref),
+                               rtol=1e-10, atol=1e-10)
+    asym = np.abs(np.asarray(P_row) - np.asarray(P_row).T).max()
+    assert asym < 1e-10
+
+
+def test_ransac_hp_apply_matches_pht_apply():
+    """RANSAC hypothesis apply from split hp rows equals the column-form
+    pht2 @ A product for the same picks."""
+    cap, nhyp = 6, 8
+    D = CAM_DIM + 6 * cap
+    P = _rand_spd(jax.random.key(60), D)
+    H_xv, H_y = _rand_blocks(cap, 61, 62)
+    hp_u, hp_v = measurement.pht_rows_split(P, H_xv, H_y)
+    pht2 = measurement.pht_slots(P, H_xv, H_y)            # (D, 2·CAP)
+    picks = jax.random.randint(jax.random.key(63), (nhyp,), 0, cap)
+    w = jax.random.normal(jax.random.key(64), (nhyp, 2), jnp.float64)
+    onehot = jax.nn.one_hot(picks, cap, dtype=jnp.float64)
+    A = jnp.einsum("nc,nj->cjn", onehot, w).reshape(2 * cap, nhyp)
+    want = pht2 @ A
+    A3 = A.reshape(cap, 2, nhyp)
+    got = hp_u.T @ A3[:, 0, :] + hp_v.T @ A3[:, 1, :]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-11, atol=1e-11)
+
+
 def test_ransac_soa_support_matches_vmap_projection():
     """EKF_RANSAC=soa (all-hypothesis (CAP,N) component form) equals the
     per-hypothesis support_projection residuals (float64)."""
