@@ -86,6 +86,13 @@ _UPDATE = os.environ.get("EKF_UPDATE", "rows")
 # accuracy-gated by bench.py + tools/check_tpu_numerics.py).
 _TAIL16 = os.environ.get("EKF_TAIL16", "0") == "1"
 
+# EKF_TAIL_APPLY=pallas routes the row-form folded tail's final
+# P + AᵀB through ops/pallas_kernels.corr_apply — ONE pass over P
+# (read storage dtype, upcast, rank-(2M+8) MXU correction from VMEM,
+# store storage dtype) instead of XLA's dot-materialize + add + cast
+# chain. Same math (HIGHEST-precision dots); A/B knob.
+_TAIL_APPLY = os.environ.get("EKF_TAIL_APPLY", "xla")
+
 # Attribution-only sub-update ablation tokens (share the EKF_ABLATE env
 # list with engine.py's stage tokens; docs/BENCH.md methodology — only the
 # real bench harness times reliably on the tunneled backend, so update
@@ -391,9 +398,14 @@ def update_rows(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray,
     At = jnp.concatenate(
         [-N, E4T, W2T + (G @ M44 @ G.T) @ E4T], axis=0)      # (2M+8, D)
     Bt = jnp.concatenate([HP, W2T, E4T], axis=0)
+    x_new = x_new.at[3:7].set(q / jnp.linalg.norm(q))
+    if (_TAIL_APPLY == "pallas" and dtype == jnp.float32
+            and P.dtype in (jnp.float32, jnp.bfloat16)):
+        from ekf_slam_tpu.ops import pallas_kernels
+        if pallas_kernels.pallas_supported() or pallas_kernels._INTERPRET[0]:
+            return x_new, pallas_kernels.corr_apply(P, At, Bt)
     P_new = p_compute(P) + jax.lax.dot_general(
         At, Bt, (((0,), (0,)), ((), ())))
-    x_new = x_new.at[3:7].set(q / jnp.linalg.norm(q))
     return x_new, p_store(P_new, P)
 
 

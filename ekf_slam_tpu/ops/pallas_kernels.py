@@ -556,6 +556,63 @@ def fused_update_tail_add(P, K, PHt, Jq4, keepN, EN, UN, CN):
     return jax.vmap(fused_update_tail_add)(P, K, PHt, Jq4, keepN, EN, UN, CN)
 
 
+def _corr_kernel(Pij_ref, At_ref, Bt_ref, out_ref):
+    """out tile = P tile + Atᵀ·Bt restricted to the tile's rows/cols."""
+    # Contraction over the (zero-row-padded) rank axis; dot_general with
+    # contracting dims (0, 0) avoids materializing a transpose in-kernel.
+    corr = jax.lax.dot_general(
+        At_ref[:], Bt_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    out_ref[:] = (Pij_ref[:].astype(jnp.float32) + corr).astype(
+        out_ref.dtype)
+
+
+def _corr_apply_single(P, At, Bt):
+    D = P.shape[0]
+    nt = pl.cdiv(D, TILE)
+    R = At.shape[0]
+    Rp = max(8, pl.cdiv(R, 8) * 8)
+    if Rp != R:
+        # Zero row-padding: the contraction runs over all Rp rows.
+        At = jnp.concatenate([At, jnp.zeros((Rp - R, D), At.dtype)])
+        Bt = jnp.concatenate([Bt, jnp.zeros((Rp - R, D), Bt.dtype)])
+    return pl.pallas_call(
+        _corr_kernel,
+        out_shape=jax.ShapeDtypeStruct((D, D), P.dtype),
+        grid=(nt, nt),
+        in_specs=[
+            pl.BlockSpec((TILE, TILE), lambda i, j: (i, j)),
+            pl.BlockSpec((Rp, TILE), lambda i, j: (0, i)),
+            pl.BlockSpec((Rp, TILE), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((TILE, TILE), lambda i, j: (i, j)),
+        interpret=_INTERPRET[0],
+    )(P, At, Bt)
+
+
+def corr_apply(P: jnp.ndarray, At: jnp.ndarray, Bt: jnp.ndarray):
+    """P⁺ = P + Atᵀ·Bt in ONE pass over P — the row-form folded update
+    tail's final apply (ekf.update_rows; update.m:13-24 with the
+    quaternion-renorm transform already folded into the factors).
+
+    The XLA form materializes the f32 correction dot output (a full-P-
+    sized array) before the elementwise add + storage cast can consume
+    it — on the bf16-stored fast path that is 3 extra full-P-sized HBM
+    touches per update. Here each P tile is read once (upcast on read),
+    the rank-R correction for that tile is computed from VMEM-resident
+    At/Bt column blocks on the MXU (HIGHEST precision: exact-f32 dots,
+    compute is negligible at R ≈ 2M+8), and the sum is stored once in
+    P's storage dtype.
+
+    P: (..., D, D) f32 or bf16 storage; At, Bt: (..., R, D) f32 factors.
+    Returns P⁺ in P's dtype. Batched via vmap.
+    """
+    if P.ndim == 2:
+        return _corr_apply_single(P, At, Bt)
+    return jax.vmap(corr_apply)(P, At, Bt)
+
+
 def pallas_supported() -> bool:
     """True when the default backend lowers Pallas TPU kernels."""
     try:

@@ -107,3 +107,43 @@ def test_fused_update_tail_bf16_storage():
     assert got.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+
+def test_corr_apply_matches_xla():
+    # P + At^T Bt, R deliberately not a sublane multiple, D not a tile
+    # multiple; f32 storage: exact agreement with the XLA dot.
+    D, R = 210, 104
+    key = jax.random.key(4)
+    kP, kA, kB = jax.random.split(key, 3)
+    A = jax.random.normal(kP, (D, D), jnp.float32) * 0.1
+    P = A @ A.T + jnp.eye(D)
+    At = jax.random.normal(kA, (R, D), jnp.float32) * 0.05
+    Bt = jax.random.normal(kB, (R, D), jnp.float32) * 0.05
+    ref = P + At.T @ Bt
+    pk._INTERPRET[0] = True
+    try:
+        got = pk.corr_apply(P, At, Bt)
+    finally:
+        pk._INTERPRET[0] = False
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
+
+
+def test_corr_apply_bf16_storage_batched():
+    B, D, R = 3, 140, 30
+    key = jax.random.key(5)
+    kP, kA, kB = jax.random.split(key, 3)
+    A = jax.random.normal(kP, (B, D, D), jnp.float32) * 0.1
+    P32 = A @ jnp.swapaxes(A, 1, 2) + jnp.eye(D)
+    P16 = P32.astype(jnp.bfloat16)
+    At = jax.random.normal(kA, (B, R, D), jnp.float32) * 0.05
+    Bt = jax.random.normal(kB, (B, R, D), jnp.float32) * 0.05
+    ref = P16.astype(jnp.float32) + jnp.einsum("brd,bre->bde", At, Bt)
+    pk._INTERPRET[0] = True
+    try:
+        got = pk.corr_apply(P16, At, Bt)
+    finally:
+        pk._INTERPRET[0] = False
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref), atol=2e-2, rtol=2e-2)
