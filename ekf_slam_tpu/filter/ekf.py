@@ -78,8 +78,15 @@ _TAIL = os.environ.get("EKF_TAIL", "folded")
 # update_rows/pht_rows_split — ONE shared row-form H·P read per update
 # phase feeds the S gates, RANSAC and the update, and nothing
 # materializes a (D, k) tall-skinny or a full-P transpose (docs/BENCH.md
-# round-2 HLO findings). "cols" is the previous column-form path (A/B).
-_UPDATE = os.environ.get("EKF_UPDATE", "rows")
+# round-2 HLO findings). "cols" is the column-form path.
+#
+# DEFAULT cols: on-device, the pure-XLA rows tail accumulates covariance
+# asymmetry geometrically (tensorfloat32 rounding is never wiped — no
+# producer re-symmetrizes P in rows form) until hᵀPh goes negative and
+# both gain solvers blow up at ~frame 7 (tools/probe_rows_nan.py).
+# rows is safe ONLY with EKF_TAIL_APPLY=pallas, whose corr_apply kernel
+# re-symmetrizes bitwise in the same pass.
+_UPDATE = os.environ.get("EKF_UPDATE", "cols")
 
 # EKF_TAIL16=1: run the folded correction dot as a single DEFAULT-
 # precision bf16 pass when P is STORED bf16 (fast mode only; A/B knob,

@@ -568,7 +568,24 @@ def _corr_kernel(Pij_ref, At_ref, Bt_ref, out_ref):
         out_ref.dtype)
 
 
-def _corr_apply_single(P, At, Bt):
+def _corr_sym_kernel(Pij_ref, Pji_ref, Ati_ref, Atj_ref, Bti_ref, Btj_ref,
+                     out_ref):
+    """out tile = ½(Pij + Pjiᵀ) + ½(Atᵢᵀ·Btⱼ + Btᵢᵀ·Atⱼ) — BITWISE
+    symmetric by construction: the (j, i) tile's expression is the exact
+    transpose of the (i, j) tile's (same products, same contraction
+    order, commutative adds), so P⁺ never carries asymmetry forward."""
+    def d(a, b):
+        return jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+    sym_p = 0.5 * (Pij_ref[:].astype(jnp.float32)
+                   + Pji_ref[:].astype(jnp.float32).T)
+    corr = 0.5 * (d(Ati_ref[:], Btj_ref[:]) + d(Bti_ref[:], Atj_ref[:]))
+    out_ref[:] = (sym_p + corr).astype(out_ref.dtype)
+
+
+def _corr_apply_single(P, At, Bt, symmetrize):
     D = P.shape[0]
     nt = pl.cdiv(D, TILE)
     R = At.shape[0]
@@ -577,40 +594,68 @@ def _corr_apply_single(P, At, Bt):
         # Zero row-padding: the contraction runs over all Rp rows.
         At = jnp.concatenate([At, jnp.zeros((Rp - R, D), At.dtype)])
         Bt = jnp.concatenate([Bt, jnp.zeros((Rp - R, D), Bt.dtype)])
+    if not symmetrize:
+        return pl.pallas_call(
+            _corr_kernel,
+            out_shape=jax.ShapeDtypeStruct((D, D), P.dtype),
+            grid=(nt, nt),
+            in_specs=[
+                pl.BlockSpec((TILE, TILE), lambda i, j: (i, j)),
+                pl.BlockSpec((Rp, TILE), lambda i, j: (0, i)),
+                pl.BlockSpec((Rp, TILE), lambda i, j: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((TILE, TILE), lambda i, j: (i, j)),
+            interpret=_INTERPRET[0],
+        )(P, At, Bt)
+    # Edge-tile note: the transposed (j, i) read's unspecified padding
+    # lanes transpose into exactly the out-of-range rows/cols of the
+    # (i, j) output tile, which the store masks — no padding of P needed.
     return pl.pallas_call(
-        _corr_kernel,
+        _corr_sym_kernel,
         out_shape=jax.ShapeDtypeStruct((D, D), P.dtype),
         grid=(nt, nt),
         in_specs=[
             pl.BlockSpec((TILE, TILE), lambda i, j: (i, j)),
+            pl.BlockSpec((TILE, TILE), lambda i, j: (j, i)),
+            pl.BlockSpec((Rp, TILE), lambda i, j: (0, i)),
+            pl.BlockSpec((Rp, TILE), lambda i, j: (0, j)),
             pl.BlockSpec((Rp, TILE), lambda i, j: (0, i)),
             pl.BlockSpec((Rp, TILE), lambda i, j: (0, j)),
         ],
         out_specs=pl.BlockSpec((TILE, TILE), lambda i, j: (i, j)),
         interpret=_INTERPRET[0],
-    )(P, At, Bt)
+    )(P, P, At, At, Bt, Bt)
 
 
-def corr_apply(P: jnp.ndarray, At: jnp.ndarray, Bt: jnp.ndarray):
-    """P⁺ = P + Atᵀ·Bt in ONE pass over P — the row-form folded update
-    tail's final apply (ekf.update_rows; update.m:13-24 with the
-    quaternion-renorm transform already folded into the factors).
+def corr_apply(P: jnp.ndarray, At: jnp.ndarray, Bt: jnp.ndarray,
+               symmetrize: bool = True):
+    """P⁺ = sym(P) + sym(Atᵀ·Bt) in ONE pass over P — the row-form folded
+    update tail's final apply (ekf.update_rows; update.m:13-24 with the
+    quaternion-renorm transform already folded into the factors, and the
+    reference's explicit P=(P+Pᵀ)/2 symmetrization of update.m:14 fused
+    into the same pass).
 
     The XLA form materializes the f32 correction dot output (a full-P-
     sized array) before the elementwise add + storage cast can consume
     it — on the bf16-stored fast path that is 3 extra full-P-sized HBM
-    touches per update. Here each P tile is read once (upcast on read),
-    the rank-R correction for that tile is computed from VMEM-resident
-    At/Bt column blocks on the MXU (HIGHEST precision: exact-f32 dots,
-    compute is negligible at R ≈ 2M+8), and the sum is stored once in
-    P's storage dtype.
+    touches per update. Here each P tile is read (plus its transposed
+    twin when symmetrize=True), the rank-R correction for that tile is
+    computed from VMEM-resident At/Bt column blocks on the MXU (HIGHEST
+    precision: exact-f32 dots, compute is negligible at R ≈ 2M+8), and
+    the sum is stored once in P's storage dtype.
+
+    symmetrize=True emits a BITWISE-symmetric P⁺ — required for the
+    EKF_UPDATE=rows path, whose shared H·P read assumes HP ≡ (PHᵀ)ᵀ:
+    without it, on-device rounding asymmetry compounds geometrically
+    until P goes indefinite (tools/probe_rows_nan.py finding).
 
     P: (..., D, D) f32 or bf16 storage; At, Bt: (..., R, D) f32 factors.
     Returns P⁺ in P's dtype. Batched via vmap.
     """
     if P.ndim == 2:
-        return _corr_apply_single(P, At, Bt)
-    return jax.vmap(corr_apply)(P, At, Bt)
+        return _corr_apply_single(P, At, Bt, symmetrize)
+    return jax.vmap(lambda p, a, b: corr_apply(p, a, b, symmetrize))(
+        P, At, Bt)
 
 
 def pallas_supported() -> bool:

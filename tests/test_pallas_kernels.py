@@ -110,23 +110,31 @@ def test_fused_update_tail_bf16_storage():
 
 
 def test_corr_apply_matches_xla():
-    # P + At^T Bt, R deliberately not a sublane multiple, D not a tile
-    # multiple; f32 storage: exact agreement with the XLA dot.
+    # R deliberately not a sublane multiple, D not a tile multiple;
+    # f32 storage. symmetrize=False: P + At^T Bt exactly;
+    # symmetrize=True: sym(P) + 0.5(At^T Bt + Bt^T At), BITWISE symmetric.
     D, R = 210, 104
     key = jax.random.key(4)
     kP, kA, kB = jax.random.split(key, 3)
     A = jax.random.normal(kP, (D, D), jnp.float32) * 0.1
     P = A @ A.T + jnp.eye(D)
+    P = 0.5 * (P + P.T)
     At = jax.random.normal(kA, (R, D), jnp.float32) * 0.05
     Bt = jax.random.normal(kB, (R, D), jnp.float32) * 0.05
-    ref = P + At.T @ Bt
     pk._INTERPRET[0] = True
     try:
-        got = pk.corr_apply(P, At, Bt)
+        got_plain = pk.corr_apply(P, At, Bt, symmetrize=False)
+        got_sym = pk.corr_apply(P, At, Bt)
     finally:
         pk._INTERPRET[0] = False
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+    np.testing.assert_allclose(np.asarray(got_plain),
+                               np.asarray(P + At.T @ Bt),
                                atol=1e-6, rtol=1e-6)
+    ref_sym = 0.5 * (P + P.T) + 0.5 * (At.T @ Bt + Bt.T @ At)
+    np.testing.assert_allclose(np.asarray(got_sym), np.asarray(ref_sym),
+                               atol=1e-6, rtol=1e-6)
+    gs = np.asarray(got_sym)
+    assert np.array_equal(gs, gs.T), "symmetrized output must be bitwise sym"
 
 
 def test_corr_apply_bf16_storage_batched():
@@ -141,7 +149,7 @@ def test_corr_apply_bf16_storage_batched():
     ref = P16.astype(jnp.float32) + jnp.einsum("brd,bre->bde", At, Bt)
     pk._INTERPRET[0] = True
     try:
-        got = pk.corr_apply(P16, At, Bt)
+        got = pk.corr_apply(P16, At, Bt, symmetrize=False)
     finally:
         pk._INTERPRET[0] = False
     assert got.dtype == jnp.bfloat16
