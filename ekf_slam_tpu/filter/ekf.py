@@ -303,6 +303,13 @@ def update(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray, z: jnp.ndarray,
         A_f = jnp.concatenate(
             [-0.5 * A, E4, W + E4 @ (G @ M44 @ G.T)], axis=1)
         B_f = jnp.concatenate([B, W, E4], axis=1)
+        if (_TAIL_APPLY == "pallas" and dtype == jnp.float32
+                and P.dtype in (jnp.float32, jnp.bfloat16)):
+            from ekf_slam_tpu.ops import pallas_kernels
+            if (pallas_kernels.pallas_supported()
+                    or pallas_kernels._INTERPRET[0]):
+                x_new = x_new.at[3:7].set(q / jnp.linalg.norm(q))
+                return x_new, pallas_kernels.corr_apply_cols(P, A_f, B_f)
         if _TAIL16 and P.dtype == jnp.bfloat16:
             # bf16 fast mode only: the correction dot as ONE DEFAULT-
             # precision bf16 MXU pass (vs 3 tensorfloat32 passes). The

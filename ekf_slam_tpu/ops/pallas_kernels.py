@@ -627,6 +627,57 @@ def _corr_apply_single(P, At, Bt, symmetrize):
     )(P, P, At, At, Bt, Bt)
 
 
+def _corr_sym_cols_kernel(Pij_ref, Pji_ref, Ai_ref, Aj_ref, Bi_ref, Bj_ref,
+                          out_ref):
+    """Column-factor twin of _corr_sym_kernel:
+    out tile = ½(Pij + Pjiᵀ) + ½(Aᵢ·Bⱼᵀ + Bᵢ·Aⱼᵀ), A/B (D, R)."""
+    def d(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+    sym_p = 0.5 * (Pij_ref[:].astype(jnp.float32)
+                   + Pji_ref[:].astype(jnp.float32).T)
+    corr = 0.5 * (d(Ai_ref[:], Bj_ref[:]) + d(Bi_ref[:], Aj_ref[:]))
+    out_ref[:] = (sym_p + corr).astype(out_ref.dtype)
+
+
+def _corr_apply_cols_single(P, A, B):
+    D = P.shape[0]
+    nt = pl.cdiv(D, TILE)
+    R = A.shape[1]
+    Rp = max(128, pl.cdiv(R, 128) * 128)
+    if Rp != R:
+        # Zero lane-padding of the contraction axis.
+        A = jnp.concatenate([A, jnp.zeros((D, Rp - R), A.dtype)], axis=1)
+        B = jnp.concatenate([B, jnp.zeros((D, Rp - R), B.dtype)], axis=1)
+    return pl.pallas_call(
+        _corr_sym_cols_kernel,
+        out_shape=jax.ShapeDtypeStruct((D, D), P.dtype),
+        grid=(nt, nt),
+        in_specs=[
+            pl.BlockSpec((TILE, TILE), lambda i, j: (i, j)),
+            pl.BlockSpec((TILE, TILE), lambda i, j: (j, i)),
+            pl.BlockSpec((TILE, Rp), lambda i, j: (i, 0)),
+            pl.BlockSpec((TILE, Rp), lambda i, j: (j, 0)),
+            pl.BlockSpec((TILE, Rp), lambda i, j: (i, 0)),
+            pl.BlockSpec((TILE, Rp), lambda i, j: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((TILE, TILE), lambda i, j: (i, j)),
+        interpret=_INTERPRET[0],
+    )(P, P, A, A, B, B)
+
+
+def corr_apply_cols(P: jnp.ndarray, A: jnp.ndarray, B: jnp.ndarray):
+    """P⁺ = sym(P) + ½(A·Bᵀ + B·Aᵀ) in one pass over P — corr_apply for
+    COLUMN-form factors (D, R), the ekf.update folded-tail layout
+    (A = Ā, B = B̄ of the rank-(2M+8) correction). Always symmetrizes
+    (bitwise, same construction as corr_apply). Batched via vmap."""
+    if P.ndim == 2:
+        return _corr_apply_cols_single(P, A, B)
+    return jax.vmap(corr_apply_cols)(P, A, B)
+
+
 def corr_apply(P: jnp.ndarray, At: jnp.ndarray, Bt: jnp.ndarray,
                symmetrize: bool = True):
     """P⁺ = sym(P) + sym(Atᵀ·Bt) in ONE pass over P — the row-form folded

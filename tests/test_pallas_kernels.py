@@ -155,3 +155,29 @@ def test_corr_apply_bf16_storage_batched():
     assert got.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+
+def test_corr_apply_cols_matches_rows():
+    # Column-factor kernel == row-factor kernel on transposed factors,
+    # and == the XLA symmetric form; bitwise symmetric output.
+    D, R = 210, 104
+    key = jax.random.key(6)
+    kP, kA, kB = jax.random.split(key, 3)
+    Q = jax.random.normal(kP, (D, D), jnp.float32) * 0.1
+    P = Q @ Q.T + jnp.eye(D)
+    P = 0.5 * (P + P.T)
+    A = jax.random.normal(kA, (D, R), jnp.float32) * 0.05
+    B = jax.random.normal(kB, (D, R), jnp.float32) * 0.05
+    pk._INTERPRET[0] = True
+    try:
+        got = pk.corr_apply_cols(P, A, B)
+        got_rows = pk.corr_apply(P, A.T, B.T)
+    finally:
+        pk._INTERPRET[0] = False
+    ref = 0.5 * (P + P.T) + 0.5 * (A @ B.T + B @ A.T)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(got_rows),
+                               atol=1e-6, rtol=1e-6)
+    g = np.asarray(got)
+    assert np.array_equal(g, g.T)
