@@ -418,8 +418,21 @@ def update_rows(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray,
         from ekf_slam_tpu.ops import pallas_kernels
         if pallas_kernels.pallas_supported() or pallas_kernels._INTERPRET[0]:
             return x_new, pallas_kernels.corr_apply(P, At, Bt)
-    P_new = p_compute(P) + jax.lax.dot_general(
-        At, Bt, (((0,), (0,)), ((), ())))
+    # Correction as the SYMMETRIC-BY-EXPRESSION stacked dot
+    # ½(AtᵀBt + BtᵀAt) = [At;Bt]ᵀ·½[Bt;At]: equal to AtᵀBt in exact
+    # arithmetic (the fold is symmetric when P enters symmetric), but its
+    # floating-point asymmetry is pure dot rounding (~1e-6·|corr|),
+    # INDEPENDENT of the factors' own rounding. The plain AtᵀBt form
+    # carries −NᵀHP whose asymmetry scales with fl(Wbar·HP)'s error ×
+    # |HP| — on-device that seed compounds geometrically through the
+    # S → W → corr feedback until P goes indefinite at ~frame 7
+    # (tools/probe_rows_nan.py). With the symmetric expression the
+    # asymmetry has NO feedback term (corr is symmetric for ANY operand
+    # values) and grows only linearly at ulp scale.
+    G1 = jnp.concatenate([At, Bt], axis=0)                   # (2R, D)
+    G2 = jnp.concatenate([Bt, At], axis=0)
+    P_new = p_compute(P) + 0.5 * jax.lax.dot_general(
+        G1, G2, (((0,), (0,)), ((), ())))
     return x_new, p_store(P_new, P)
 
 

@@ -560,12 +560,54 @@ def _corr_kernel(Pij_ref, At_ref, Bt_ref, out_ref):
     """out tile = P tile + Atᵀ·Bt restricted to the tile's rows/cols."""
     # Contraction over the (zero-row-padded) rank axis; dot_general with
     # contracting dims (0, 0) avoids materializing a transpose in-kernel.
-    corr = jax.lax.dot_general(
-        At_ref[:], Bt_ref[:], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    corr = _corr_dot(At_ref[:], Bt_ref[:], 0)
     out_ref[:] = (Pij_ref[:].astype(jnp.float32) + corr).astype(
         out_ref.dtype)
+
+
+# In-kernel correction-dot lowering (EKF_CORR_PREC): "highest" = 6-pass
+# exact-f32 MXU dots; "split3" = hand-rolled 3-pass hi/lo bf16 split
+# (tensorfloat32-equivalent — what ekf.f32_matmuls pins in XLA; Mosaic
+# does not lower Precision.HIGH so the split is manual); "default" =
+# 1-pass bf16 (factor rounding ~2^-9 of the correction — the EKF_TAIL16
+# accuracy class). At R = 2M+8 the dots are 47 GFLOP/update at B=512:
+# 6-pass ≈ 2.9 ms/update of pure MXU time, which erases the kernel's
+# HBM win — the pass count matters.
+import os as _os
+_CORR_PREC = _os.environ.get("EKF_CORR_PREC", "split3")
+
+
+def _corr_dot(a, b, contract, mirror=False):
+    """Rank-axis correction dot at the configured in-kernel precision.
+
+    mirror=True swaps the split3 cross-term ADD ORDER (hh + lh + hl
+    instead of hh + hl + lh): in the symmetrizing kernels the second dot
+    of the pair ½(d(A,B) + d(B,A)) must sum its cross terms in the order
+    that makes tile (i,j)'s expression the float-exact transpose of tile
+    (j,i)'s — float addition is commutative but not associative."""
+    dims = (((contract,), (contract,)), ((), ()))
+    if _CORR_PREC == "highest" or a.dtype != jnp.float32:
+        return jax.lax.dot_general(
+            a, b, dims, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+    if _CORR_PREC == "default":
+        return jax.lax.dot_general(
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), dims,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(x, y):
+        return jax.lax.dot_general(
+            x, y, dims, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)
+
+    if mirror:
+        return d(a_hi, b_hi) + d(a_lo, b_hi) + d(a_hi, b_lo)
+    return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
 
 
 def _corr_sym_kernel(Pij_ref, Pji_ref, Ati_ref, Atj_ref, Bti_ref, Btj_ref,
@@ -574,14 +616,10 @@ def _corr_sym_kernel(Pij_ref, Pji_ref, Ati_ref, Atj_ref, Bti_ref, Btj_ref,
     symmetric by construction: the (j, i) tile's expression is the exact
     transpose of the (i, j) tile's (same products, same contraction
     order, commutative adds), so P⁺ never carries asymmetry forward."""
-    def d(a, b):
-        return jax.lax.dot_general(
-            a, b, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
     sym_p = 0.5 * (Pij_ref[:].astype(jnp.float32)
                    + Pji_ref[:].astype(jnp.float32).T)
-    corr = 0.5 * (d(Ati_ref[:], Btj_ref[:]) + d(Bti_ref[:], Atj_ref[:]))
+    corr = 0.5 * (_corr_dot(Ati_ref[:], Btj_ref[:], 0)
+                  + _corr_dot(Bti_ref[:], Atj_ref[:], 0, mirror=True))
     out_ref[:] = (sym_p + corr).astype(out_ref.dtype)
 
 
@@ -631,14 +669,10 @@ def _corr_sym_cols_kernel(Pij_ref, Pji_ref, Ai_ref, Aj_ref, Bi_ref, Bj_ref,
                           out_ref):
     """Column-factor twin of _corr_sym_kernel:
     out tile = ½(Pij + Pjiᵀ) + ½(Aᵢ·Bⱼᵀ + Bᵢ·Aⱼᵀ), A/B (D, R)."""
-    def d(a, b):
-        return jax.lax.dot_general(
-            a, b, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
     sym_p = 0.5 * (Pij_ref[:].astype(jnp.float32)
                    + Pji_ref[:].astype(jnp.float32).T)
-    corr = 0.5 * (d(Ai_ref[:], Bj_ref[:]) + d(Bi_ref[:], Aj_ref[:]))
+    corr = 0.5 * (_corr_dot(Ai_ref[:], Bj_ref[:], 1)
+                  + _corr_dot(Bi_ref[:], Aj_ref[:], 1, mirror=True))
     out_ref[:] = (sym_p + corr).astype(out_ref.dtype)
 
 

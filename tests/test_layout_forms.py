@@ -313,6 +313,7 @@ def test_update_rows_pallas_tail_apply_matches_xla(monkeypatch):
     f32 and bf16 covariance storage."""
     from ekf_slam_tpu.filter import ekf
     from ekf_slam_tpu.ops import pallas_kernels as pk
+    monkeypatch.setattr(pk, "_CORR_PREC", "highest")
     cap = 4
     D = CAM_DIM + 6 * cap
     M = 6
@@ -349,6 +350,7 @@ def test_update_cols_pallas_tail_apply_matches_xla(monkeypatch):
     interpret mode) matches the XLA apply — float32, f32 and bf16 P."""
     from ekf_slam_tpu.filter import ekf
     from ekf_slam_tpu.ops import pallas_kernels as pk
+    monkeypatch.setattr(pk, "_CORR_PREC", "highest")
     cap = 4
     D = CAM_DIM + 6 * cap
     M = 6

@@ -31,10 +31,13 @@ def test_fused_update_tail_matches_reference():
 
     ref = _reference_tail(P, K, PHt, Jq)
     pk._INTERPRET[0] = True
+    _prec = pk._CORR_PREC
+    pk._CORR_PREC = "highest"
     try:
         got = pk.fused_update_tail(P, K, PHt, Jq)
     finally:
         pk._INTERPRET[0] = False
+        pk._CORR_PREC = _prec
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
 
@@ -49,10 +52,13 @@ def test_fused_update_tail_batched():
     Jq = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (B, 4, 4))
 
     pk._INTERPRET[0] = True
+    _prec = pk._CORR_PREC
+    pk._CORR_PREC = "highest"
     try:
         got = pk.fused_update_tail(P, K, PHt, Jq)
     finally:
         pk._INTERPRET[0] = False
+        pk._CORR_PREC = _prec
     ref = jax.vmap(_reference_tail)(P, K, PHt, Jq)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
@@ -65,20 +71,26 @@ def test_f32_matmul_big_matches_xla():
     B = jax.random.normal(jax.random.key(3), (D2, M), jnp.float32)
     ref = A @ B
     pk._INTERPRET[0] = True
+    _prec = pk._CORR_PREC
+    pk._CORR_PREC = "highest"
     try:
         got = pk.f32_matmul_big(A, B)
     finally:
         pk._INTERPRET[0] = False
+        pk._CORR_PREC = _prec
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-3, rtol=1e-5)
     # batched
     Ab = jnp.stack([A, 2 * A])
     Bb = jnp.stack([B, B])
     pk._INTERPRET[0] = True
+    _prec = pk._CORR_PREC
+    pk._CORR_PREC = "highest"
     try:
         got_b = pk.f32_matmul_big(Ab, Bb)
     finally:
         pk._INTERPRET[0] = False
+        pk._CORR_PREC = _prec
     np.testing.assert_allclose(np.asarray(got_b[1]), np.asarray(2 * A @ B),
                                atol=2e-3, rtol=1e-5)
 
@@ -100,10 +112,13 @@ def test_fused_update_tail_bf16_storage():
 
     ref = _reference_tail(P16.astype(jnp.float32), K, PHt, Jq)
     pk._INTERPRET[0] = True
+    _prec = pk._CORR_PREC
+    pk._CORR_PREC = "highest"
     try:
         got = pk.fused_update_tail(P16, K, PHt, Jq)
     finally:
         pk._INTERPRET[0] = False
+        pk._CORR_PREC = _prec
     assert got.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref), atol=2e-2, rtol=2e-2)
@@ -122,11 +137,14 @@ def test_corr_apply_matches_xla():
     At = jax.random.normal(kA, (R, D), jnp.float32) * 0.05
     Bt = jax.random.normal(kB, (R, D), jnp.float32) * 0.05
     pk._INTERPRET[0] = True
+    _prec = pk._CORR_PREC
+    pk._CORR_PREC = "highest"
     try:
         got_plain = pk.corr_apply(P, At, Bt, symmetrize=False)
         got_sym = pk.corr_apply(P, At, Bt)
     finally:
         pk._INTERPRET[0] = False
+        pk._CORR_PREC = _prec
     np.testing.assert_allclose(np.asarray(got_plain),
                                np.asarray(P + At.T @ Bt),
                                atol=1e-6, rtol=1e-6)
@@ -148,10 +166,13 @@ def test_corr_apply_bf16_storage_batched():
     Bt = jax.random.normal(kB, (B, R, D), jnp.float32) * 0.05
     ref = P16.astype(jnp.float32) + jnp.einsum("brd,bre->bde", At, Bt)
     pk._INTERPRET[0] = True
+    _prec = pk._CORR_PREC
+    pk._CORR_PREC = "highest"
     try:
         got = pk.corr_apply(P16, At, Bt, symmetrize=False)
     finally:
         pk._INTERPRET[0] = False
+        pk._CORR_PREC = _prec
     assert got.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref), atol=2e-2, rtol=2e-2)
@@ -169,15 +190,46 @@ def test_corr_apply_cols_matches_rows():
     A = jax.random.normal(kA, (D, R), jnp.float32) * 0.05
     B = jax.random.normal(kB, (D, R), jnp.float32) * 0.05
     pk._INTERPRET[0] = True
+    _prec = pk._CORR_PREC
+    pk._CORR_PREC = "highest"
     try:
         got = pk.corr_apply_cols(P, A, B)
         got_rows = pk.corr_apply(P, A.T, B.T)
     finally:
         pk._INTERPRET[0] = False
+        pk._CORR_PREC = _prec
     ref = 0.5 * (P + P.T) + 0.5 * (A @ B.T + B @ A.T)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-6, rtol=1e-6)
     np.testing.assert_allclose(np.asarray(got), np.asarray(got_rows),
                                atol=1e-6, rtol=1e-6)
+    g = np.asarray(got)
+    assert np.array_equal(g, g.T)
+
+
+def test_corr_apply_split3_accuracy():
+    # The 3-pass hi/lo bf16 split (the default in-kernel lowering, ==
+    # the XLA tensorfloat32 class) must track the exact-f32 correction
+    # to ~2^-16 relative of the correction magnitude.
+    D, R = 210, 104
+    key = jax.random.key(7)
+    kP, kA, kB = jax.random.split(key, 3)
+    Q = jax.random.normal(kP, (D, D), jnp.float32) * 0.1
+    P = Q @ Q.T + jnp.eye(D)
+    P = 0.5 * (P + P.T)
+    At = jax.random.normal(kA, (R, D), jnp.float32) * 0.05
+    Bt = jax.random.normal(kB, (R, D), jnp.float32) * 0.05
+    ref = 0.5 * (P + P.T) + 0.5 * (At.T @ Bt + Bt.T @ At)
+    pk._INTERPRET[0] = True
+    prec = pk._CORR_PREC
+    pk._CORR_PREC = "split3"
+    try:
+        got = pk.corr_apply(P, At, Bt)
+    finally:
+        pk._INTERPRET[0] = False
+        pk._CORR_PREC = prec
+    scale = float(np.abs(np.asarray(At.T @ Bt)).max())
+    err = float(np.abs(np.asarray(got) - np.asarray(ref)).max())
+    assert err < 1e-4 * max(scale, 1.0), (err, scale)
     g = np.asarray(got)
     assert np.array_equal(g, g.T)
