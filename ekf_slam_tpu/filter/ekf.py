@@ -97,8 +97,12 @@ _TAIL16 = os.environ.get("EKF_TAIL16", "0") == "1"
 # P + AᵀB through ops/pallas_kernels.corr_apply — ONE pass over P
 # (read storage dtype, upcast, rank-(2M+8) MXU correction from VMEM,
 # store storage dtype) instead of XLA's dot-materialize + add + cast
-# chain. Same math (HIGHEST-precision dots); A/B knob.
+# chain. A/B knob. EKF_TAIL_SYM picks the kernel's symmetrization mode
+# ("expr" = symmetric correction only, one P read — the default;
+# "full" = bitwise-symmetric output, reads each tile's transposed twin:
+# measured +30 ms/frame on v5e, the in-kernel transpose is hostile).
 _TAIL_APPLY = os.environ.get("EKF_TAIL_APPLY", "xla")
+_TAIL_SYM = os.environ.get("EKF_TAIL_SYM", "expr")
 
 # Attribution-only sub-update ablation tokens (share the EKF_ABLATE env
 # list with engine.py's stage tokens; docs/BENCH.md methodology — only the
@@ -417,7 +421,8 @@ def update_rows(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray,
             and P.dtype in (jnp.float32, jnp.bfloat16)):
         from ekf_slam_tpu.ops import pallas_kernels
         if pallas_kernels.pallas_supported() or pallas_kernels._INTERPRET[0]:
-            return x_new, pallas_kernels.corr_apply(P, At, Bt)
+            return x_new, pallas_kernels.corr_apply(
+                P, At, Bt, symmetrize=_TAIL_SYM)
     # Correction as the SYMMETRIC-BY-EXPRESSION stacked dot
     # ½(AtᵀBt + BtᵀAt) = [At;Bt]ᵀ·½[Bt;At]: equal to AtᵀBt in exact
     # arithmetic (the fold is symmetric when P enters symmetric), but its

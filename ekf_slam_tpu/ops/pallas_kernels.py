@@ -610,6 +610,17 @@ def _corr_dot(a, b, contract, mirror=False):
     return d(a_hi, b_hi) + d(a_hi, b_lo) + d(a_lo, b_hi)
 
 
+def _corr_expr_kernel(Pij_ref, Ati_ref, Atj_ref, Bti_ref, Btj_ref, out_ref):
+    """out tile = Pij + ½(Atᵢᵀ·Btⱼ + Btᵢᵀ·Atⱼ): the CORRECTION is
+    float-exactly symmetric (mirrored cross-term order) so it never seeds
+    asymmetry, but P's own (ulp-level, non-compounding) asymmetry passes
+    through — no transposed-tile read, one P pass."""
+    corr = 0.5 * (_corr_dot(Ati_ref[:], Btj_ref[:], 0)
+                  + _corr_dot(Bti_ref[:], Atj_ref[:], 0, mirror=True))
+    out_ref[:] = (Pij_ref[:].astype(jnp.float32) + corr).astype(
+        out_ref.dtype)
+
+
 def _corr_sym_kernel(Pij_ref, Pji_ref, Ati_ref, Atj_ref, Bti_ref, Btj_ref,
                      out_ref):
     """out tile = ½(Pij + Pjiᵀ) + ½(Atᵢᵀ·Btⱼ + Btᵢᵀ·Atⱼ) — BITWISE
@@ -632,7 +643,7 @@ def _corr_apply_single(P, At, Bt, symmetrize):
         # Zero row-padding: the contraction runs over all Rp rows.
         At = jnp.concatenate([At, jnp.zeros((Rp - R, D), At.dtype)])
         Bt = jnp.concatenate([Bt, jnp.zeros((Rp - R, D), Bt.dtype)])
-    if not symmetrize:
+    if symmetrize == "none" or symmetrize is False:
         return pl.pallas_call(
             _corr_kernel,
             out_shape=jax.ShapeDtypeStruct((D, D), P.dtype),
@@ -645,6 +656,21 @@ def _corr_apply_single(P, At, Bt, symmetrize):
             out_specs=pl.BlockSpec((TILE, TILE), lambda i, j: (i, j)),
             interpret=_INTERPRET[0],
         )(P, At, Bt)
+    if symmetrize == "expr":
+        return pl.pallas_call(
+            _corr_expr_kernel,
+            out_shape=jax.ShapeDtypeStruct((D, D), P.dtype),
+            grid=(nt, nt),
+            in_specs=[
+                pl.BlockSpec((TILE, TILE), lambda i, j: (i, j)),
+                pl.BlockSpec((Rp, TILE), lambda i, j: (0, i)),
+                pl.BlockSpec((Rp, TILE), lambda i, j: (0, j)),
+                pl.BlockSpec((Rp, TILE), lambda i, j: (0, i)),
+                pl.BlockSpec((Rp, TILE), lambda i, j: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((TILE, TILE), lambda i, j: (i, j)),
+            interpret=_INTERPRET[0],
+        )(P, At, At, Bt, Bt)
     # Edge-tile note: the transposed (j, i) read's unspecified padding
     # lanes transpose into exactly the out-of-range rows/cols of the
     # (i, j) output tile, which the store masks — no padding of P needed.
@@ -713,7 +739,7 @@ def corr_apply_cols(P: jnp.ndarray, A: jnp.ndarray, B: jnp.ndarray):
 
 
 def corr_apply(P: jnp.ndarray, At: jnp.ndarray, Bt: jnp.ndarray,
-               symmetrize: bool = True):
+               symmetrize="full"):
     """P⁺ = sym(P) + sym(Atᵀ·Bt) in ONE pass over P — the row-form folded
     update tail's final apply (ekf.update_rows; update.m:13-24 with the
     quaternion-renorm transform already folded into the factors, and the
@@ -729,10 +755,15 @@ def corr_apply(P: jnp.ndarray, At: jnp.ndarray, Bt: jnp.ndarray,
     precision: exact-f32 dots, compute is negligible at R ≈ 2M+8), and
     the sum is stored once in P's storage dtype.
 
-    symmetrize=True emits a BITWISE-symmetric P⁺ — required for the
-    EKF_UPDATE=rows path, whose shared H·P read assumes HP ≡ (PHᵀ)ᵀ:
-    without it, on-device rounding asymmetry compounds geometrically
-    until P goes indefinite (tools/probe_rows_nan.py finding).
+    symmetrize ∈ {"full", "expr", "none"}: "full" emits a BITWISE-
+    symmetric P⁺ (= ½(P+Pᵀ) + sym-corr; reads each tile's transposed
+    twin too — wipes any accumulated asymmetry); "expr" adds a float-
+    exactly-symmetric CORRECTION to P as-is (one P read, no transpose;
+    P's own non-compounding ulp asymmetry passes through — sufficient to
+    keep the EKF_UPDATE=rows path stable, whose shared H·P read assumes
+    HP ≡ (PHᵀ)ᵀ: an asymmetric correction seed compounds geometrically
+    through the S → W → corr feedback until P goes indefinite,
+    tools/probe_rows_nan.py finding); "none" is the raw P + AtᵀBt.
 
     P: (..., D, D) f32 or bf16 storage; At, Bt: (..., R, D) f32 factors.
     Returns P⁺ in P's dtype. Batched via vmap.

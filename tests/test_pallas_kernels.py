@@ -233,3 +233,31 @@ def test_corr_apply_split3_accuracy():
     assert err < 1e-4 * max(scale, 1.0), (err, scale)
     g = np.asarray(got)
     assert np.array_equal(g, g.T)
+
+
+def test_corr_apply_expr_mode():
+    # "expr": P passes through untouched, correction is the symmetric
+    # pair — matches the XLA stacked-sym form; exact at highest.
+    D, R = 210, 104
+    key = jax.random.key(8)
+    kP, kA, kB = jax.random.split(key, 3)
+    P = jax.random.normal(kP, (D, D), jnp.float32)  # deliberately asym
+    At = jax.random.normal(kA, (R, D), jnp.float32) * 0.05
+    Bt = jax.random.normal(kB, (R, D), jnp.float32) * 0.05
+    ref = P + 0.5 * (At.T @ Bt + Bt.T @ At)
+    pk._INTERPRET[0] = True
+    _prec = pk._CORR_PREC
+    pk._CORR_PREC = "highest"
+    try:
+        got = pk.corr_apply(P, At, Bt, symmetrize="expr")
+    finally:
+        pk._INTERPRET[0] = False
+        pk._CORR_PREC = _prec
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-6, rtol=1e-6)
+    # P's own asymmetry must pass through unamplified: got - got.T stays
+    # within float rounding of P - P.T (the correction itself is
+    # symmetric by the mirrored construction).
+    d_got = np.asarray(got) - np.asarray(got).T
+    d_p = np.asarray(P) - np.asarray(P).T
+    assert np.abs(d_got - d_p).max() < 1e-6
