@@ -456,7 +456,14 @@ def _convert_params(state: FilterState, cfg: EngineConfig,
     y3, theta, phi, rho = slots[:, 0:3], slots[:, 3], slots[:, 4], slots[:, 5]
     idx = jnp.arange(cap)
     rho_dims = CAM_DIM + 6 * idx + 5
-    rho_var = state.P[rho_dims, rho_dims].astype(dtype) * ks[rho_dims]
+    # Per-slot rho variances WITHOUT a 2-D-index diagonal gather (which
+    # relayouts all of P to a batch-minor copy under vmap — 5.2M
+    # estimated cycles in the r2d HLO dump): strided-slice the CAP rho
+    # rows, then a one-hot column select fused into the reduce.
+    rho_rows = state.P[CAM_DIM + 5:CAM_DIM + 6 * cap:6, :]     # (CAP, D)
+    colsel = rho_dims[:, None] == jnp.arange(state.P.shape[0])[None, :]
+    rho_var = (jnp.sum(jnp.where(colsel, rho_rows, 0), axis=1)
+               .astype(dtype) * ks[rho_dims])
     # Guard rho==0 on inactive slots.
     safe_rho = jnp.where(rho == 0, jnp.ones_like(rho), rho)
     std_d = jnp.sqrt(jnp.maximum(rho_var, 0.0)) / safe_rho**2
@@ -494,13 +501,23 @@ def _convert_params(state: FilterState, cfg: EngineConfig,
         jnp.einsum("c,ci->i", onehot,
                    -mi / safe_rho[:, None] ** 2)[:, None]], axis=1)
 
-    # gather the slot's 6 P-rows with a dynamic slice: reads exactly 6 rows
-    # (a one-hot contraction here would read ALL landmark rows of P).
+    # gather the slot's 6 P-rows as a one-hot contraction over the slot
+    # axis of the landmark rows' bitcast view. This reads ALL landmark
+    # rows once in natural layout on the MXU — cheaper than the previous
+    # dynamic_slice, whose per-instance offset lowers (under vmap) to a
+    # batch gather that first RELAYOUTS the whole of P into a {2,0,1}
+    # copy (3.7M estimated cycles, a top-5 kernel in the r2d HLO dump).
+    # The one-hot row is exact 0/1, so this is still an exact selection;
+    # precision is pinned so the MXU pass cannot round P's values to
+    # bf16 outside an f32_matmuls scope (the recurring covariance trap).
     off = CAM_DIM + 6 * slot
     # ks column-scales the gathered rows (fused delete); the chosen slot's
     # own row scale is 1 because `eligible` requires an active (kept) slot.
-    slot_rows = (jax.lax.dynamic_slice(state.P, (off, 0), (6, D))
-                 .astype(dtype) * do.astype(dtype) * ks[None, :])  # (6, D)
+    Pmap = ekf.p_compute(state.P[CAM_DIM:CAM_DIM + 6 * cap, :]
+                         ).reshape(cap, 6, D)
+    slot_rows = (jnp.einsum("c,cjd->jd", onehot, Pmap,
+                            precision=jax.lax.Precision.HIGHEST
+                            ).astype(dtype) * ks[None, :])     # (6, D)
     new_rows3 = J @ slot_rows                               # (3, D)
     new_rows = jnp.concatenate(
         [new_rows3, jnp.zeros((3, D), dtype)], axis=0)      # (6, D)

@@ -157,17 +157,22 @@ def innovation_covariances(P: jnp.ndarray, H_xv: jnp.ndarray,
 def _slot_diag_blocks(P: jnp.ndarray, cap: int) -> jnp.ndarray:
     """(CAP, 6, 6) diagonal landmark blocks of P.
 
-    One flat-index gather from a bitcast view of P: element (c,i,j) sits
-    at row 13+6c+i, col 13+6c+j. The previous reshape + 2-D-index
-    advanced-indexing form materialized transposed copies of the WHOLE
-    (6·CAP)² map block (~2x740 MB at B=512 — optimized-HLO finding,
-    docs/BENCH.md round 2) to extract 14 KB of diagonals."""
+    A one-hot column selection fused into ONE multiply-reduce pass over
+    the landmark rows' bitcast view — element (c,i,j) sits at row
+    13+6c+i, col 13+6c+j. Two earlier forms both paid full-P relayout
+    copies on TPU (optimized-HLO findings, docs/BENCH.md round 2):
+    2-D-index advanced indexing materialized transposed copies of the
+    whole (6·CAP)² map block, and the round-2 flat-index gather forced a
+    batch-minor {0,1} copy of all of P per call (the gather custom-call
+    wants its vmapped operand batch-minor; ~4.9M estimated cycles each,
+    r2d dump). The iota-compare selector and the multiply both fuse into
+    the reduce, so nothing beyond the (6·CAP, D) row read materializes."""
     D = P.shape[0]
-    flat = P.reshape(-1)
-    c = jnp.arange(cap)[:, None, None]
-    ij = (jnp.arange(6)[:, None] * D + jnp.arange(6)[None, :])[None]
-    base = (CAM_DIM + 6 * c) * D + CAM_DIM + 6 * c
-    return flat[base + ij]
+    cap6 = 6 * cap
+    Pmap = P[CAM_DIM:CAM_DIM + cap6, :].reshape(cap, 6, D)
+    cols = CAM_DIM + 6 * jnp.arange(cap)[:, None] + jnp.arange(6)[None, :]
+    sel = jnp.arange(D)[None, None, None, :] == cols[:, None, :, None]
+    return jnp.sum(jnp.where(sel, Pmap[:, :, None, :], 0), axis=-1)
 
 
 def dense_H(H_xv: jnp.ndarray, H_y: jnp.ndarray,

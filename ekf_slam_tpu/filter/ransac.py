@@ -41,6 +41,14 @@ from ekf_slam_tpu.ops import quaternion as quat
 # per-hypothesis form for A/B; test_ransac pins soa == vmap.
 _FORM = os.environ.get("EKF_RANSAC", "soa")
 
+# Hypothesis-apply operand form: "gform" (default) contracts P against
+# the (D, NHYP) sparse factor Hᵀ·A built from the picked slots' Jacobian
+# blocks — one natural-layout P read; "pht" builds all-slot gain columns
+# P·Hᵀ (D, 2·CAP) first (measurement.pht_slots) and contracts those —
+# the pre-r2d form, kept for A/B (and always used when the engine shares
+# a pht/hp operand across stages).
+_APPLY = os.environ.get("EKF_RANSAC_APPLY", "gform")
+
 
 def sample_ic_indices(key: jax.Array, ic_mask: jnp.ndarray,
                       num: int) -> jnp.ndarray:
@@ -185,6 +193,17 @@ def run(x: jnp.ndarray, P: jnp.ndarray, z: jnp.ndarray, h: jnp.ndarray,
         # layout copy of P (measurement.pht_slots_rows). (CAP, 2, D).
         pht2 = measurement.pht_slots_rows(P, H_xv, H_y).reshape(2 * cap, -1)
         apply_picks = lambda A: jnp.einsum("md,mn->dn", pht2, A)
+    elif pht is None and _APPLY == "gform":
+        # Associativity: x_hyps = x + (P·Hᵀ)·A = x + P·(Hᵀ·A). Hᵀ·A is a
+        # (D, NHYP) factor computable from the NHYP picked slots' Jacobian
+        # blocks alone (H is block-sparse, A one-hot in the slot axis), so
+        # the whole hypothesis apply is ONE natural-layout P read with a
+        # 64-wide dot — no (D, 2·CAP) all-slot gain columns. pht_slots
+        # was the single most expensive kernel group in the step (≈30 ms
+        # of 148 by the compiler's own estimated_cycles; r2d HLO dump,
+        # tools/attribute_hlo.py): column-sliced P reads feeding 6-wide
+        # contraction einsums plus (D,CAP,6)/(D,2·CAP) layout copies.
+        apply_picks = None
     else:
         pht2 = measurement.pht_slots(P, H_xv, H_y) if pht is None \
             else pht                                      # (D, 2·CAP)
@@ -201,8 +220,18 @@ def run(x: jnp.ndarray, P: jnp.ndarray, z: jnp.ndarray, h: jnp.ndarray,
     nu_p = z[picks] - h[picks]                            # (NHYP, 2)
     w_p = jax.vmap(association._solve_2x2)(S[picks], nu_p)
     onehot = jax.nn.one_hot(picks, cap, dtype=x.dtype)    # (NHYP, CAP)
-    A = jnp.einsum("nc,nj->cjn", onehot, w_p).reshape(2 * cap, nhyp)
-    x_hyps = x[:, None] + apply_picks(A)                  # (D, NHYP)
+    if apply_picks is None:
+        # G = Hᵀ·A directly from the picked blocks: camera rows from
+        # Hxvᵀw, each pick's 6 map rows scattered via the slot one-hot.
+        cam_g = jnp.einsum("nij,ni->jn", H_xv[picks], w_p)    # (13, N)
+        slot_g = jnp.einsum("nij,ni->nj", H_y[picks], w_p)    # (N, 6)
+        map_g = jnp.einsum("nc,nj->cjn", onehot, slot_g
+                           ).reshape(6 * cap, nhyp)           # (6CAP, N)
+        G = jnp.concatenate([cam_g, map_g], axis=0)           # (D, N)
+        x_hyps = x[:, None] + _ekf.p_compute(P) @ G
+    else:
+        A = jnp.einsum("nc,nj->cjn", onehot, w_p).reshape(2 * cap, nhyp)
+        x_hyps = x[:, None] + apply_picks(A)              # (D, NHYP)
 
     if _FORM == "soa":
         res2 = support_residuals_soa(x_hyps, z, cartesian, cfg)  # (CAP, N)

@@ -110,3 +110,22 @@ def test_ransac_no_ic_matches_is_noop():
                              jax.random.key(4), cfg)
     assert not bool(jnp.any(li))
     assert int(support) == 0
+
+
+def test_gform_apply_matches_pht_form(monkeypatch):
+    """EKF_RANSAC_APPLY=gform (x + P·(Hᵀ·A), one natural-layout P read)
+    equals the pht form (x + (P·Hᵀ)·A) — identical algebra, so the LI
+    mask and support must agree exactly in float64."""
+    cfg = EngineConfig(map=MapConfig(capacity=24), dtype="float64")
+    outliers = [2, 7, 11]
+    st, x, P, z, h, (H_xv, H_y), S, ic = _ransac_setup(
+        outliers, jax.random.key(11), cfg)
+    results = {}
+    for mode in ("pht", "gform"):
+        monkeypatch.setattr(ransac, "_APPLY", mode)
+        results[mode] = ransac.run(x, P, z, h, H_xv, H_y, S, ic,
+                                   st.cartesian, jax.random.key(12), cfg)
+    li_p, sup_p = results["pht"]
+    li_g, sup_g = results["gform"]
+    np.testing.assert_array_equal(np.asarray(li_p), np.asarray(li_g))
+    assert int(sup_p) == int(sup_g)
