@@ -456,14 +456,12 @@ def _convert_params(state: FilterState, cfg: EngineConfig,
     y3, theta, phi, rho = slots[:, 0:3], slots[:, 3], slots[:, 4], slots[:, 5]
     idx = jnp.arange(cap)
     rho_dims = CAM_DIM + 6 * idx + 5
-    # Per-slot rho variances WITHOUT a 2-D-index diagonal gather (which
-    # relayouts all of P to a batch-minor copy under vmap — 5.2M
-    # estimated cycles in the r2d HLO dump): strided-slice the CAP rho
-    # rows, then a one-hot column select fused into the reduce.
-    rho_rows = state.P[CAM_DIM + 5:CAM_DIM + 6 * cap:6, :]     # (CAP, D)
-    colsel = rho_dims[:, None] == jnp.arange(state.P.shape[0])[None, :]
-    rho_var = (jnp.sum(jnp.where(colsel, rho_rows, 0), axis=1)
-               .astype(dtype) * ks[rho_dims])
+    # 2-D-index diagonal gather. It relayouts P to a batch-minor copy
+    # under vmap (~5.2M estimated cycles, r2d HLO dump), but the
+    # measured alternative — strided rho-row slice + one-hot column
+    # select fused into a reduce — was WORSE (5.9M, r2f dump): the
+    # reduce re-reads the sliced rows per output column.
+    rho_var = state.P[rho_dims, rho_dims].astype(dtype) * ks[rho_dims]
     # Guard rho==0 on inactive slots.
     safe_rho = jnp.where(rho == 0, jnp.ones_like(rho), rho)
     std_d = jnp.sqrt(jnp.maximum(rho_var, 0.0)) / safe_rho**2
@@ -503,10 +501,11 @@ def _convert_params(state: FilterState, cfg: EngineConfig,
 
     # gather the slot's 6 P-rows as a one-hot contraction over the slot
     # axis of the landmark rows' bitcast view. This reads ALL landmark
-    # rows once in natural layout on the MXU — cheaper than the previous
-    # dynamic_slice, whose per-instance offset lowers (under vmap) to a
-    # batch gather that first RELAYOUTS the whole of P into a {2,0,1}
-    # copy (3.7M estimated cycles, a top-5 kernel in the r2d HLO dump).
+    # rows once in natural layout on the MXU (3.6M estimated cycles) —
+    # on par with the previous dynamic_slice, whose per-instance offset
+    # lowers (under vmap) to a batch gather behind a {2,0,1} relayout
+    # copy of P (3.7M cycles, r2d vs r2f HLO dumps); kept because it
+    # frees the relayout copy from the copy budget.
     # The one-hot row is exact 0/1, so this is still an exact selection;
     # precision is pinned so the MXU pass cannot round P's values to
     # bf16 outside an f32_matmuls scope (the recurring covariance trap).

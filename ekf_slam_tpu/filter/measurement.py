@@ -22,11 +22,22 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+import os
+
 from ekf_slam_tpu.config import CAM_DIM, CameraConfig, EngineConfig
 from ekf_slam_tpu.filter.ekf import f32_matmuls as _f32_matmuls
 from ekf_slam_tpu.filter.state import FilterState
 from ekf_slam_tpu.ops import camera as cam_ops
 from ekf_slam_tpu.ops import quaternion as quat
+
+# Slot-diagonal extraction form for innovation_covariances (A/B knob;
+# see _slot_diag_blocks): "flatgather" = flat-index gather (pays a
+# batch-minor relayout copy of P, ~4.9M estimated cycles/call) —
+# MEASURED BEST; "reduce" = one-hot multiply-reduce over the landmark
+# rows, which avoids the copy but re-visits each row per selected
+# column and costs ~46M estimated cycles (r2f HLO dump) — kept only as
+# the A/B record of why the copy is the cheaper evil here.
+_SDIAG = os.environ.get("EKF_SDIAG", "flatgather")
 
 
 def camera_frame_points(x: jnp.ndarray, slots: jnp.ndarray,
@@ -166,8 +177,17 @@ def _slot_diag_blocks(P: jnp.ndarray, cap: int) -> jnp.ndarray:
     batch-minor {0,1} copy of all of P per call (the gather custom-call
     wants its vmapped operand batch-minor; ~4.9M estimated cycles each,
     r2d dump). The iota-compare selector and the multiply both fuse into
-    the reduce, so nothing beyond the (6·CAP, D) row read materializes."""
+    the reduce, so nothing beyond the (6·CAP, D) row read materializes
+    (the reduce visits each row once per selected column k, so the A/B
+    vs the flat gather is traffic-shape dependent; EKF_SDIAG picks the
+    form: "reduce" | "flatgather")."""
     D = P.shape[0]
+    if _SDIAG == "flatgather":
+        flat = P.reshape(-1)
+        c = jnp.arange(cap)[:, None, None]
+        ij = (jnp.arange(6)[:, None] * D + jnp.arange(6)[None, :])[None]
+        base = (CAM_DIM + 6 * c) * D + CAM_DIM + 6 * c
+        return flat[base + ij]
     cap6 = 6 * cap
     Pmap = P[CAM_DIM:CAM_DIM + cap6, :].reshape(cap, 6, D)
     cols = CAM_DIM + 6 * jnp.arange(cap)[:, None] + jnp.arange(6)[None, :]
