@@ -33,11 +33,22 @@ from ekf_slam_tpu.ops import quaternion as quat
 # Slot-diagonal extraction form for innovation_covariances (A/B knob;
 # see _slot_diag_blocks): "flatgather" = flat-index gather (pays a
 # batch-minor relayout copy of P, ~4.9M estimated cycles/call) —
-# MEASURED BEST; "reduce" = one-hot multiply-reduce over the landmark
-# rows, which avoids the copy but re-visits each row per selected
-# column and costs ~46M estimated cycles (r2f HLO dump) — kept only as
-# the A/B record of why the copy is the cheaper evil here.
+# MEASURED BEST of round 2c; "blockreduce" = block-diag mask + single
+# slot'-axis reduce (no gather, each element read once); "reduce" =
+# one-hot multiply-reduce over the landmark rows, which avoids the copy
+# but re-visits each row per selected column and costs ~46M estimated
+# cycles (r2f HLO dump) — kept only as the A/B record of why the copy
+# is the cheaper evil there.
 _SDIAG = os.environ.get("EKF_SDIAG", "flatgather")
+
+# Per-slot S assembly form (A/B knob; see innovation_covariances):
+# "aos" = the (CAP, 2, k) einsum forms — MEASURED BEST (9717.6 vs
+# 8360.7 steps/s for soa on the real bench, despite the einsums'
+# padded small-minor-dim operands ranking high in the compiler's
+# estimated_cycles; the many small SoA kernels lower worse than the
+# fused einsum forms). "soa" = split pixel components into 2-D
+# (CAP, k) arrays — kept as the A/B record.
+_S1FORM = os.environ.get("EKF_S1FORM", "aos")
 
 
 def camera_frame_points(x: jnp.ndarray, slots: jnp.ndarray,
@@ -158,11 +169,35 @@ def innovation_covariances(P: jnp.ndarray, H_xv: jnp.ndarray,
     # Cross/diag blocks per slot, gathered by reshape (slots are regular).
     P1y = P[:CAM_DIM, CAM_DIM:].reshape(CAM_DIM, cap, 6).transpose(1, 0, 2)
     Pyy = _slot_diag_blocks(P, cap)
-    t1 = jnp.einsum("nij,jk,nlk->nil", H_xv, P11, H_xv)
-    t2 = jnp.einsum("nij,njk,nlk->nil", H_xv, P1y, H_y)
-    t3 = jnp.einsum("nij,njk,nlk->nil", H_y, Pyy, H_y)
-    R = (sigma_z ** 2) * jnp.eye(2, dtype=P.dtype)
-    return t1 + t2 + jnp.swapaxes(t2, -1, -2) + t3 + R
+    if _S1FORM != "soa":
+        t1 = jnp.einsum("nij,jk,nlk->nil", H_xv, P11, H_xv)
+        t2 = jnp.einsum("nij,njk,nlk->nil", H_xv, P1y, H_y)
+        t3 = jnp.einsum("nij,njk,nlk->nil", H_y, Pyy, H_y)
+        R = (sigma_z ** 2) * jnp.eye(2, dtype=P.dtype)
+        return t1 + t2 + jnp.swapaxes(t2, -1, -2) + t3 + R
+    # SoA assembly: the (CAP, 2, k) einsum operands carry minor dims
+    # (2, k<=13) that tile-pad to (8, 128) and lower to many small padded
+    # kernels (~17.5M estimated cycles across t1-t3 in the r2f HLO dump).
+    # Splitting the pixel components u/v into clean 2-D (CAP, k) arrays
+    # keeps every intermediate unpadded-in-sublanes; the three quadratic
+    # forms become two (CAP,13)x(13,13) dots, two batched matvecs and
+    # eight fused multiply-reduces over (CAP, k).
+    Hu, Hv = H_xv[:, 0, :], H_xv[:, 1, :]                  # (CAP, 13)
+    Gu, Gv = H_y[:, 0, :], H_y[:, 1, :]                    # (CAP, 6)
+    Wu, Wv = Hu @ P11, Hv @ P11                            # (CAP, 13)
+    Bu = jnp.einsum("cj,cjk->ck", Hu, P1y)                 # (CAP, 6)
+    Bv = jnp.einsum("cj,cjk->ck", Hv, P1y)
+    Cu = jnp.einsum("cj,cjk->ck", Gu, Pyy)                 # (CAP, 6)
+    Cv = jnp.einsum("cj,cjk->ck", Gv, Pyy)
+    r = jnp.asarray(sigma_z, P.dtype) ** 2
+    s00 = (jnp.sum(Wu * Hu, -1) + 2.0 * jnp.sum(Bu * Gu, -1)
+           + jnp.sum(Cu * Gu, -1) + r)
+    s11 = (jnp.sum(Wv * Hv, -1) + 2.0 * jnp.sum(Bv * Gv, -1)
+           + jnp.sum(Cv * Gv, -1) + r)
+    s01 = (jnp.sum(Wu * Hv, -1) + jnp.sum(Bu * Gv, -1)
+           + jnp.sum(Bv * Gu, -1) + jnp.sum(Cu * Gv, -1))
+    return jnp.stack([jnp.stack([s00, s01], -1),
+                      jnp.stack([s01, s11], -1)], -2)      # (CAP, 2, 2)
 
 
 def _slot_diag_blocks(P: jnp.ndarray, cap: int) -> jnp.ndarray:
@@ -188,6 +223,17 @@ def _slot_diag_blocks(P: jnp.ndarray, cap: int) -> jnp.ndarray:
         ij = (jnp.arange(6)[:, None] * D + jnp.arange(6)[None, :])[None]
         base = (CAM_DIM + 6 * c) * D + CAM_DIM + 6 * c
         return flat[base + ij]
+    if _SDIAG == "blockreduce":
+        # Mask the map block to its block diagonal, then reduce out the
+        # slot' axis of the (CAP, 6, CAP, 6) bitcast view — each element
+        # is read exactly once (unlike the "reduce" form below, which
+        # re-reads rows per selected column), and no gather means no
+        # batch-minor relayout copy of P.
+        Pm = P[CAM_DIM:CAM_DIM + 6 * cap, CAM_DIM:CAM_DIM + 6 * cap]
+        eye = (jnp.arange(cap)[:, None] == jnp.arange(cap)[None, :])
+        blocks = jnp.where(eye[:, None, :, None],
+                           Pm.reshape(cap, 6, cap, 6), 0)
+        return jnp.sum(blocks, axis=2)
     cap6 = 6 * cap
     Pmap = P[CAM_DIM:CAM_DIM + cap6, :].reshape(cap, 6, D)
     cols = CAM_DIM + 6 * jnp.arange(cap)[:, None] + jnp.arange(6)[None, :]

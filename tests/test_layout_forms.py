@@ -382,3 +382,39 @@ def test_update_cols_pallas_tail_apply_matches_xla(monkeypatch):
             rtol=tol, atol=tol)
         g = np.asarray(P_got, np.float32)
         assert np.array_equal(g, g.T)
+
+
+def test_innovation_covariances_soa_matches_aos(monkeypatch):
+    """EKF_S1FORM=soa (split-component 2-D assembly) equals the
+    (CAP, 2, k) einsum form to fp-reduction order — float64."""
+    from ekf_slam_tpu.filter import measurement as m
+    rng = np.random.default_rng(5)
+    cap, D = 9, CAM_DIM + 9 * 6
+    A = rng.normal(size=(D, D))
+    P = jnp.asarray(A @ A.T)
+    H_xv = jnp.asarray(rng.normal(size=(cap, 2, CAM_DIM)))
+    H_y = jnp.asarray(rng.normal(size=(cap, 2, 6)))
+    monkeypatch.setattr(m, "_S1FORM", "aos")
+    S_aos = m.innovation_covariances(P, H_xv, H_y, 1.3)
+    monkeypatch.setattr(m, "_S1FORM", "soa")
+    S_soa = m.innovation_covariances(P, H_xv, H_y, 1.3)
+    np.testing.assert_allclose(np.asarray(S_soa), np.asarray(S_aos),
+                               rtol=1e-11, atol=1e-11)
+    # the SoA form is exactly symmetric by construction
+    np.testing.assert_array_equal(np.asarray(S_soa),
+                                  np.asarray(jnp.swapaxes(S_soa, -1, -2)))
+
+
+def test_slot_diag_blocks_forms_equal(monkeypatch):
+    """All EKF_SDIAG extraction forms (flatgather / blockreduce / reduce)
+    return bit-identical slot diagonal blocks."""
+    from ekf_slam_tpu.filter import measurement as m
+    cap = 5
+    D = CAM_DIM + 6 * cap
+    P = jnp.asarray(np.random.default_rng(0).normal(size=(D, D)))
+    outs = {}
+    for form in ("flatgather", "blockreduce", "reduce"):
+        monkeypatch.setattr(m, "_SDIAG", form)
+        outs[form] = np.asarray(m._slot_diag_blocks(P, cap))
+    np.testing.assert_array_equal(outs["flatgather"], outs["blockreduce"])
+    np.testing.assert_array_equal(outs["flatgather"], outs["reduce"])
