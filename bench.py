@@ -144,16 +144,21 @@ def main():
     def run(states, ks):
         final, traj, infos = jax.vmap(
             lambda s, k: engine.run_sequence(s, obs, k, cfg))(states, ks)
-        return final, traj
+        # max per-update observation counts across all instances+frames:
+        # the compact update silently drops inliers past max_update_obs,
+        # so an honest benchmark must prove the cap was never hit.
+        max_obs = jnp.maximum(jnp.max(infos.n_li), jnp.max(infos.n_hi))
+        return final, traj, max_obs
 
     # Warmup / compile.
-    final, traj = run(st_b, keys)
+    final, traj, max_obs = run(st_b, keys)
     jax.block_until_ready(traj)
 
     t0 = time.perf_counter()
     n_rep = 3
     for i in range(n_rep):
-        final, traj = run(st_b, jax.random.split(jax.random.key(2 + i), BATCH))
+        final, traj, max_obs = run(
+            st_b, jax.random.split(jax.random.key(2 + i), BATCH))
     jax.block_until_ready(traj)
     dt = time.perf_counter() - t0
 
@@ -166,6 +171,10 @@ def main():
     if not os.environ.get("EKF_ABLATE"):
         assert bool(jnp.all(jnp.isfinite(traj))), "non-finite trajectories"
         assert bool(jnp.all(jnp.isfinite(final.P))), "non-finite covariance"
+        m_cap = cfg.map.max_update_obs
+        assert m_cap <= 0 or int(max_obs) <= m_cap, (
+            f"update cap hit: max per-update obs {int(max_obs)} > "
+            f"max_update_obs {m_cap} — inliers were dropped; raise BENCH_M")
         # ...and a benchmark of a filter that lost the trajectory is not
         # one either: the fast mode (bf16-P storage + 3-pass f32-emulated
         # dots) must still TRACK — mean position error against the
