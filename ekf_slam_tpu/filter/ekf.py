@@ -232,6 +232,56 @@ def update_gain(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray,
 
 
 @f32_matmuls
+def _folded_tail_factors(x_new: jnp.ndarray, P4: jnp.ndarray,
+                         K: jnp.ndarray, PHt: jnp.ndarray):
+    """Factors (Ā, B̄) of the folded covariance tail P⁺ = P + Ā·B̄ᵀ — the
+    symmetric downdate AND quaternion-renorm fold as one rank-(2M+8)
+    correction (see `update`'s folded branch for the algebra). P4: rows
+    3:7 of the covariance this update acts on, in COMPUTE dtype — the
+    identity holds for any symmetric P, which is what lets the deferred
+    two-update path (`update_factors`) feed correction-adjusted rows
+    instead of materialized-P rows. Returns (x renormalized, Ā, B̄)."""
+    dtype = x_new.dtype
+    D = P4.shape[1]
+    A = jnp.concatenate([K, PHt], axis=1)                  # (D, 2M')
+    B = jnp.concatenate([PHt, K], axis=1)
+    q = x_new[3:7]
+    G = quat.norm_jac(q) - jnp.eye(4, dtype=dtype)
+    M4 = P4 - 0.5 * (A[3:7, :] @ B.T)                      # (4, D)
+    M44 = M4[:, 3:7]
+    W = M4.T @ G.T                                         # (D, 4)
+    E4 = jnp.zeros((D, 4), dtype).at[3:7, :].set(
+        jnp.eye(4, dtype=dtype))
+    A_f = jnp.concatenate(
+        [-0.5 * A, E4, W + E4 @ (G @ M44 @ G.T)], axis=1)
+    B_f = jnp.concatenate([B, W, E4], axis=1)
+    x_new = x_new.at[3:7].set(q / jnp.linalg.norm(q))
+    return x_new, A_f, B_f
+
+
+@f32_matmuls
+def update_factors(x: jnp.ndarray, P4: jnp.ndarray, H: jnp.ndarray,
+                   z: jnp.ndarray, h: jnp.ndarray, row_mask: jnp.ndarray,
+                   r_diag: jnp.ndarray, gain_solver: str = "cholesky",
+                   PHt: jnp.ndarray = None, P: jnp.ndarray = None):
+    """Deferred-tail update phase (engine EKF_DEFER mode): gain + state
+    update + folded-tail factor construction WITHOUT applying the
+    covariance correction. The engine stacks both updates' factors and
+    applies P_final = P_prior + [Ā₁|Ā₂]·[B̄₁|B̄₂]ᵀ as ONE full-P
+    correction dot — one output write and one prior read instead of two
+    of each (update.m:13-24 applied twice, algebraically identical).
+
+    P4: rows 3:7 of the covariance this update acts on (phase 2 passes
+    the correction-adjusted rows, NOT rows of a materialized P_post).
+    Exactly one of P (phase 1: dense P·Hᵀ computed here) or PHt
+    (phase 2: correction-adjusted, caller-computed) must be given.
+    Returns (x_new renormalized, Ā, B̄)."""
+    x_new, K, PHt = update_gain(x, P, H, z, h, row_mask, r_diag,
+                                gain_solver, PHt)
+    return _folded_tail_factors(x_new, P4, K, PHt)
+
+
+@f32_matmuls
 def update(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray, z: jnp.ndarray,
            h: jnp.ndarray, row_mask: jnp.ndarray, r_diag: jnp.ndarray,
            use_pallas: bool = False, gain_solver: str = "cholesky",
@@ -293,26 +343,13 @@ def update(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray, z: jnp.ndarray,
         # full matrix; this form touches P once each way, with the add
         # and storage cast fusing into the dot's consumer.
         dtype = x.dtype
-        A = jnp.concatenate([K, PHt], axis=1)              # (D, 2M')
-        B = jnp.concatenate([PHt, K], axis=1)
-        D = P.shape[0]
-        q = x_new[3:7]
-        G = quat.norm_jac(q) - jnp.eye(4, dtype=dtype)
-        P4 = p_compute(P[3:7, :])                          # (4, D)
-        M4 = P4 - 0.5 * (A[3:7, :] @ B.T)                  # (4, D)
-        M44 = M4[:, 3:7]
-        W = M4.T @ G.T                                     # (D, 4)
-        E4 = jnp.zeros((D, 4), dtype).at[3:7, :].set(
-            jnp.eye(4, dtype=dtype))
-        A_f = jnp.concatenate(
-            [-0.5 * A, E4, W + E4 @ (G @ M44 @ G.T)], axis=1)
-        B_f = jnp.concatenate([B, W, E4], axis=1)
+        x_new, A_f, B_f = _folded_tail_factors(
+            x_new, p_compute(P[3:7, :]), K, PHt)
         if (_TAIL_APPLY == "pallas" and dtype == jnp.float32
                 and P.dtype in (jnp.float32, jnp.bfloat16)):
             from ekf_slam_tpu.ops import pallas_kernels
             if (pallas_kernels.pallas_supported()
                     or pallas_kernels._INTERPRET[0]):
-                x_new = x_new.at[3:7].set(q / jnp.linalg.norm(q))
                 return x_new, pallas_kernels.corr_apply_cols(P, A_f, B_f)
         if _TAIL16 and P.dtype == jnp.bfloat16:
             # bf16 fast mode only: the correction dot as ONE DEFAULT-
@@ -328,7 +365,6 @@ def update(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray, z: jnp.ndarray,
             P_new = p_compute(P) + corr
         else:
             P_new = p_compute(P) + A_f @ B_f.T
-        x_new = x_new.at[3:7].set(q / jnp.linalg.norm(q))
         return x_new, p_store(P_new, P)
     if _SYM == "stacked":
         # Symmetric downdate as ONE stacked dot: K·PHtᵀ + PHt·Kᵀ =

@@ -128,6 +128,10 @@ import os as _os
 _ABLATE = frozenset(
     s for s in _os.environ.get("EKF_ABLATE", "").split(",") if s)
 
+# EKF_DEFER=1: defer both updates' covariance applies into ONE stacked
+# correction dot at the end of the frame (see step_core_from_prior).
+_DEFER = _os.environ.get("EKF_DEFER", "0") == "1"
+
 
 def step_core_from_prior(state: FilterState, x_prior: jnp.ndarray,
                          P_prior: jnp.ndarray, z: jnp.ndarray,
@@ -153,14 +157,34 @@ def step_core_from_prior(state: FilterState, x_prior: jnp.ndarray,
     # to R alone; they are gated out of IC anyway (visible=False).
     rows_mode = ekf._UPDATE == "rows" and not f.share_pht \
         and not f.use_iterated_update and not _use_pallas(cfg)
+    # Deferred two-update covariance tail (EKF_DEFER): both updates emit
+    # folded-tail FACTORS; P is written once at the end as
+    # P_prior + [Ā₁|Ā₂]·[B̄₁|B̄₂]ᵀ. The HI phase's S gates and P·Hᵀ come
+    # from correction-adjusted blocks, so the posterior P is never
+    # materialized between the updates (one full-P output write and one
+    # prior read fewer per frame). Algebraically identical to the
+    # sequential path (tests/test_engine.py pins f64 agreement).
+    deferred = (_DEFER and not _ABLATE and not rows_mode
+                and ekf._TAIL == "folded" and ekf._SYM == "stacked"
+                and ekf._TAIL_APPLY != "pallas" and not ekf._TAIL16
+                and not f.share_pht and not f.use_iterated_update
+                and not _use_pallas(cfg)
+                and 0 < cfg.map.max_update_obs < cap)
     vm = visible.astype(H_xv.dtype)[:, None, None]
     hp = measurement.pht_rows_split(P_prior, H_xv * vm, H_y * vm) \
         if rows_mode else None
     pht_all = measurement.pht_slots(P_prior, H_xv * vm, H_y * vm) \
         if f.share_pht else None
+    top13 = pyy1 = None
+    if deferred:
+        top13 = ekf.p_compute(P_prior[:measurement.CAM_DIM, :])
+        pyy1 = measurement._slot_diag_blocks(ekf.p_compute(P_prior), cap)
     if "s1" in _ABLATE:
         S = jnp.broadcast_to(jnp.eye(2, dtype=x_prior.dtype) * 4.0,
                              (cap, 2, 2))
+    elif deferred:
+        S = measurement.innovation_covariances_from_blocks(
+            top13, pyy1, H_xv, H_y, f.sigma_z)
     elif hp is not None:
         S = measurement.innovation_covariances_from_hp(
             hp[0], hp[1], H_xv * vm, H_y * vm, f.sigma_z)
@@ -178,6 +202,23 @@ def step_core_from_prior(state: FilterState, x_prior: jnp.ndarray,
         li, support = ransac.run(
             x_prior, P_prior, z, h, H_xv * vm, H_y * vm, S, ic,
             state.cartesian, key, cfg, pht=pht_all, hp=hp)
+
+    # -- 5-7 (deferred): factor-only updates, ONE covariance apply -----------
+    if deferred:
+        x_post, A1, B1 = _masked_update_factors(
+            x_prior, P_prior, H_xv, H_y, z, h, li, cfg, P4=top13[3:7, :])
+        h2, vis2, H_xv2, H_y2 = _linearize(x_post, P_prior, state, cfg)[:4]
+        top13_2, pyy2 = _deferred_hi_blocks(top13, pyy1, A1, B1, cap)
+        S_noR = measurement.innovation_covariances_from_blocks(
+            top13_2, pyy2, H_xv2, H_y2, 0.0)
+        hi = association.rescue_high_innovation(z, h2, S_noR, ic & vis2,
+                                                li, cfg)
+        x_post, A2, B2 = _masked_update_factors(
+            x_post, P_prior, H_xv2, H_y2, z, h2, hi, cfg,
+            P4=top13_2[3:7, :], corr=(A1, B1))
+        P_post = _apply_stacked_factors(P_prior, A1, B1, A2, B2)
+        return _step_core_epilogue(state, x_post, P_post, visible, ic,
+                                   li, hi, support, cfg)
 
     # -- 5. LI update from the prior (ekf_update_li_inliers.m; R = I there).
     # With use_iterated_update the LI step relinearizes (Gauss-Newton IEKF,
@@ -226,6 +267,14 @@ def step_core_from_prior(state: FilterState, x_prior: jnp.ndarray,
         x_post, P_post = _masked_update(
             x_post, P_post, H_xv2, H_y2, z, h2, hi, cfg, pht_all=pht_all2)
 
+    return _step_core_epilogue(state, x_post, P_post, visible, ic,
+                               li, hi, support, cfg)
+
+
+def _step_core_epilogue(state, x_post, P_post, visible, ic, li, hi,
+                        support, cfg: EngineConfig):
+    """Shared tail of step_core_from_prior: NaN checks, state write,
+    counter bookkeeping (update_features_info.m) and StepInfo."""
     if cfg.debug_nan_checks:
         from ekf_slam_tpu.utils.metrics import check_finite
         check_finite(x_post, "x_post", debug=True)
@@ -423,6 +472,63 @@ def _masked_update(x, P, H_xv, H_y, z, h, slot_mask, cfg: EngineConfig,
         x, P, H, z[sel].reshape(-1), h[sel].reshape(-1),
         jnp.repeat(sel_mask, 2), jnp.ones(2 * M, x.dtype),
         use_pallas=use_pallas, gain_solver=solver, PHt=PHt)
+
+
+def _masked_update_factors(x, P, H_xv, H_y, z, h, slot_mask,
+                           cfg: EngineConfig, P4, corr=None):
+    """Compact-M factor-only update phase for the deferred tail
+    (EKF_DEFER). Mirrors _masked_update's top-M gather but returns
+    (x_new, Ā, B̄) instead of applying the covariance correction.
+
+    P4: rows 3:7 of the covariance this update acts on (compute dtype).
+    corr: the LI phase's (Ā₁, B̄₁) — when given, P is the PRIOR and the
+    posterior P·Hᵀ is computed in correction-adjusted form
+    P·Hᵀ + Ā₁·(B̄₁ᵀ·Hᵀ) without materializing the posterior."""
+    cap = slot_mask.shape[0]
+    M = cfg.map.max_update_obs
+    sel = jnp.argsort(~slot_mask)[:M]          # inlier slots first (stable)
+    sel_mask = slot_mask[sel]
+    H = measurement.compact_dense_H(H_xv[sel], H_y[sel], sel, sel_mask, cap)
+    zc, hc = z[sel].reshape(-1), h[sel].reshape(-1)
+    rm = jnp.repeat(sel_mask, 2)
+    r = jnp.ones(2 * M, x.dtype)
+    solver = cfg.filter.gain_solver
+    if corr is None:
+        return ekf.update_factors(x, P4, H, zc, hc, rm, r, solver, P=P)
+    return ekf.update_factors(x, P4, H, zc, hc, rm, r, solver,
+                              PHt=_pht_corrected(P, corr[0], corr[1], H))
+
+
+@ekf.f32_matmuls
+def _pht_corrected(P, A1, B1, H):
+    """Posterior gain columns from the prior + LI factors:
+    (P + Ā₁B̄₁ᵀ)·Hᵀ = P·Hᵀ + Ā₁·(B̄₁ᵀ·Hᵀ)."""
+    Ht = H.T
+    return ekf.p_compute(P) @ Ht + A1 @ (B1.T @ Ht)
+
+
+@ekf.f32_matmuls
+def _deferred_hi_blocks(top13, pyy1, A1, B1, cap):
+    """Post-LI covariance blocks from the LI factors: the 13 camera rows
+    and the (CAP, 6, 6) slot diagonals of P_prior + Ā₁B̄₁ᵀ — all of P
+    the rescue gates' S needs, no posterior materialization. The slot
+    increments contract the factors' landmark rows through a bitcast
+    (CAP, 6, K) view — no gather."""
+    cam = measurement.CAM_DIM
+    top13_2 = top13 + A1[:cam] @ B1.T
+    Ar = A1[cam:cam + 6 * cap].reshape(cap, 6, -1)
+    Br = B1[cam:cam + 6 * cap].reshape(cap, 6, -1)
+    pyy2 = pyy1 + jnp.einsum("cjk,clk->cjl", Ar, Br)
+    return top13_2, pyy2
+
+
+@ekf.f32_matmuls
+def _apply_stacked_factors(P, A1, B1, A2, B2):
+    """The deferred tail's single covariance apply:
+    P_final = P + [Ā₁|Ā₂]·[B̄₁|B̄₂]ᵀ (one output write, one prior read)."""
+    A = jnp.concatenate([A1, A2], axis=1)
+    B = jnp.concatenate([B1, B2], axis=1)
+    return ekf.p_store(ekf.p_compute(P) + A @ B.T, P)
 
 
 def _masked_update_rows(x, P, hp, H_xv, H_y, z, h, slot_mask,

@@ -165,16 +165,13 @@ def innovation_covariances(P: jnp.ndarray, H_xv: jnp.ndarray,
     from ekf_slam_tpu.filter.ekf import p_compute
     P = p_compute(P)
     cap = H_xv.shape[0]
+    Pyy = _slot_diag_blocks(P, cap)
+    if _S1FORM != "soa":
+        return innovation_covariances_from_blocks(
+            P[:CAM_DIM, :], Pyy, H_xv, H_y, sigma_z)
     P11 = P[:CAM_DIM, :CAM_DIM]
     # Cross/diag blocks per slot, gathered by reshape (slots are regular).
     P1y = P[:CAM_DIM, CAM_DIM:].reshape(CAM_DIM, cap, 6).transpose(1, 0, 2)
-    Pyy = _slot_diag_blocks(P, cap)
-    if _S1FORM != "soa":
-        t1 = jnp.einsum("nij,jk,nlk->nil", H_xv, P11, H_xv)
-        t2 = jnp.einsum("nij,njk,nlk->nil", H_xv, P1y, H_y)
-        t3 = jnp.einsum("nij,njk,nlk->nil", H_y, Pyy, H_y)
-        R = (sigma_z ** 2) * jnp.eye(2, dtype=P.dtype)
-        return t1 + t2 + jnp.swapaxes(t2, -1, -2) + t3 + R
     # SoA assembly: the (CAP, 2, k) einsum operands carry minor dims
     # (2, k<=13) that tile-pad to (8, 128) and lower to many small padded
     # kernels (~17.5M estimated cycles across t1-t3 in the r2f HLO dump).
@@ -198,6 +195,28 @@ def innovation_covariances(P: jnp.ndarray, H_xv: jnp.ndarray,
            + jnp.sum(Bv * Gu, -1) + jnp.sum(Cu * Gv, -1))
     return jnp.stack([jnp.stack([s00, s01], -1),
                       jnp.stack([s01, s11], -1)], -2)      # (CAP, 2, 2)
+
+
+@_f32_matmuls
+def innovation_covariances_from_blocks(top13: jnp.ndarray, Pyy: jnp.ndarray,
+                                       H_xv: jnp.ndarray, H_y: jnp.ndarray,
+                                       sigma_z: float):
+    """Per-slot S from precomputed covariance blocks: top13 = the 13
+    camera rows (13, D) in COMPUTE dtype, Pyy = (CAP, 6, 6) slot
+    diagonal blocks. This is all of P the per-slot S formula touches, so
+    the deferred-update engine path (EKF_DEFER) can feed blocks built
+    from the LI update's folded-tail factors instead of a materialized
+    posterior P. The (CAP, 2, k) einsum (aos) forms — measured fastest
+    (docs/BENCH.md r2h)."""
+    cap = H_xv.shape[0]
+    P11 = top13[:, :CAM_DIM]
+    P1y = top13[:, CAM_DIM:CAM_DIM + 6 * cap].reshape(
+        CAM_DIM, cap, 6).transpose(1, 0, 2)
+    t1 = jnp.einsum("nij,jk,nlk->nil", H_xv, P11, H_xv)
+    t2 = jnp.einsum("nij,njk,nlk->nil", H_xv, P1y, H_y)
+    t3 = jnp.einsum("nij,njk,nlk->nil", H_y, Pyy, H_y)
+    R = (sigma_z ** 2) * jnp.eye(2, dtype=top13.dtype)
+    return t1 + t2 + jnp.swapaxes(t2, -1, -2) + t3 + R
 
 
 def _slot_diag_blocks(P: jnp.ndarray, cap: int) -> jnp.ndarray:

@@ -152,3 +152,34 @@ def test_debug_nan_checks_mode_runs():
     run = jax.jit(engine.run_sequence, static_argnames="cfg")
     final, traj, infos = run(st, obs, jax.random.key(10), cfg)
     assert bool(jnp.all(jnp.isfinite(traj)))
+
+
+def test_deferred_update_matches_sequential():
+    """EKF_DEFER (factor-only updates, one stacked covariance apply)
+    equals the sequential two-apply path to fp-reassociation order in
+    float64 — same LI/HI counts, same trajectory, same final P."""
+    import numpy as np
+    from ekf_slam_tpu.config import MapConfig, SimConfig
+    from ekf_slam_tpu.sim import simulate
+    cfg = EngineConfig(map=MapConfig(capacity=32, min_features_in_image=15,
+                                     max_new_per_step=10, max_update_obs=12),
+                       sim=SimConfig(num_landmarks=48), dtype="float64")
+    scn, xs, obs = simulate(jax.random.key(0), cfg, 10)
+    st = engine.bootstrap(init_state(cfg),
+                          jax.tree.map(lambda a: a[0], obs), cfg)
+    outs = {}
+    old = engine._DEFER
+    try:
+        for mode in (False, True):
+            engine._DEFER = mode
+            def run(s, o, k, _cfg=cfg):
+                return engine.run_sequence(s, o, k, _cfg)
+            final, traj, infos = jax.jit(run)(st, obs, jax.random.key(1))
+            outs[mode] = (np.asarray(traj), np.asarray(final.P),
+                          np.asarray(infos.n_li), np.asarray(infos.n_hi))
+    finally:
+        engine._DEFER = old
+    np.testing.assert_array_equal(outs[False][2], outs[True][2])
+    np.testing.assert_array_equal(outs[False][3], outs[True][3])
+    np.testing.assert_allclose(outs[True][0], outs[False][0], atol=1e-10)
+    np.testing.assert_allclose(outs[True][1], outs[False][1], atol=1e-9)
