@@ -242,6 +242,19 @@ def _slot_diag_blocks(P: jnp.ndarray, cap: int) -> jnp.ndarray:
         ij = (jnp.arange(6)[:, None] * D + jnp.arange(6)[None, :])[None]
         base = (CAM_DIM + 6 * c) * D + CAM_DIM + 6 * c
         return flat[base + ij]
+    if _SDIAG == "dotsel":
+        # Column selection as a batched MXU dot against a CONSTANT
+        # (CAP, 6, D) one-hot selector (loop-invariant, hoisted): reads
+        # the landmark rows once in natural layout, no gather relayout.
+        # Exact at any matmul precision: the selector is exact 0/1 and
+        # P's values are bf16-representable in the bf16-stored fast mode.
+        cap6 = 6 * cap
+        Pmap = P[CAM_DIM:CAM_DIM + cap6, :].reshape(cap, 6, D)
+        cols = (CAM_DIM + 6 * jnp.arange(cap)[:, None]
+                + jnp.arange(6)[None, :])
+        sel = (jnp.arange(D)[None, None, :]
+               == cols[:, :, None]).astype(P.dtype)
+        return jnp.einsum("cjd,ckd->cjk", Pmap, sel)
     if _SDIAG == "blockreduce":
         # Mask the map block to its block diagonal, then reduce out the
         # slot' axis of the (CAP, 6, CAP, 6) bitcast view — each element

@@ -413,8 +413,9 @@ def test_slot_diag_blocks_forms_equal(monkeypatch):
     D = CAM_DIM + 6 * cap
     P = jnp.asarray(np.random.default_rng(0).normal(size=(D, D)))
     outs = {}
-    for form in ("flatgather", "blockreduce", "reduce"):
+    for form in ("flatgather", "blockreduce", "reduce", "dotsel"):
         monkeypatch.setattr(m, "_SDIAG", form)
         outs[form] = np.asarray(m._slot_diag_blocks(P, cap))
     np.testing.assert_array_equal(outs["flatgather"], outs["blockreduce"])
     np.testing.assert_array_equal(outs["flatgather"], outs["reduce"])
+    np.testing.assert_array_equal(outs["flatgather"], outs["dotsel"])
