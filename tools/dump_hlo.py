@@ -41,7 +41,7 @@ def main(out_path):
             p_storage=os.environ.get("BENCH_PSTORE", "bf16")),
         map=MapConfig(capacity=cap, min_features_in_image=25,
                       max_new_per_step=10,
-                      max_update_obs=int(os.environ.get("BENCH_M", "48"))),
+                      max_update_obs=int(os.environ.get("BENCH_M", "24"))),
         ransac=RansacConfig(
             num_hypotheses=int(os.environ.get("BENCH_NHYP", "64"))),
         sim=SimConfig(num_landmarks=128),
@@ -66,5 +66,53 @@ def main(out_path):
     print(f"wrote {len(txt) / 1e6:.1f} MB to {out_path}")
 
 
+def main_pixels(out_path):
+    """BENCH_MODE=pixels analog: the exact step_image program the pixels
+    bench times (vision front-end + filter) at BENCH_PIXB instances."""
+    from ekf_slam_tpu.config import VisionConfig
+    from ekf_slam_tpu.vision import frontend
+
+    b = int(os.environ.get("BENCH_PIXB", "64"))
+    cap = int(os.environ.get("BENCH_CAP", "100"))
+    cfg = EngineConfig(
+        filter=FilterConfig(gain_solver=os.environ.get("BENCH_GAIN",
+                                                       "newton")),
+        map=MapConfig(capacity=cap, min_features_in_image=25,
+                      max_new_per_step=10, max_update_obs=64),
+        vision=VisionConfig(matcher=os.environ.get("BENCH_MATCHER", "ncc")),
+        sim=SimConfig(num_landmarks=128),
+        dtype="float32")
+    scn, xs, _ = simulate(jax.random.key(0), cfg, FRAMES)
+    render = jax.jit(frontend.render_scene_image, static_argnames="cfg")
+    imgs = jnp.stack([render(scn, xs[t], cfg) for t in range(FRAMES)])
+    st0 = init_state(cfg)
+    app0 = frontend.init_appearance(cfg)
+    st_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (b,) + a.shape), st0)
+    app_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (b,) + a.shape), app0)
+
+    @jax.jit
+    def run(states, apps, ks):
+        def one(st, app, k):
+            def body(carry, inp):
+                s, a = carry
+                img, kk = inp
+                s, a, info = frontend.step_image(s, a, img, kk, cfg)
+                return (s, a), s.x[:13]
+            (s, a), traj = jax.lax.scan(
+                body, (st, app), (imgs, jax.random.split(k, FRAMES)))
+            return s, traj
+        return jax.vmap(one)(states, apps, ks)
+
+    keys = jax.random.split(jax.random.key(1), b)
+    txt = run.lower(st_b, app_b, keys).compile().as_text()
+    with open(out_path, "w") as f:
+        f.write(txt)
+    print(f"wrote {len(txt) / 1e6:.1f} MB to {out_path}")
+
+
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_step.hlo")
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/bench_step.hlo"
+    if os.environ.get("BENCH_MODE", "sim") == "pixels":
+        main_pixels(out)
+    else:
+        main(out)
