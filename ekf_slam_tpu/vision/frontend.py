@@ -199,13 +199,27 @@ def select_new_feature_pixels(img: jnp.ndarray, pred_px: jnp.ndarray,
     xx = jnp.arange(W, dtype=img.dtype)[None, :]
     border_ok = ((yy >= BORDER) & (yy < H - BORDER)
                  & (xx >= BORDER) & (xx < W - BORDER))
-    # Exclusion disks: distance to every predicted feature (H*W x CAP).
-    d2 = ((yy[..., None] - pred_px[None, None, :, 1]) ** 2
-          + (xx[..., None] - pred_px[None, None, :, 0]) ** 2)
-    d2 = jnp.where(pred_mask[None, None, :], d2, jnp.inf)
+    score = score * border_ok
+    # Candidates-first exclusion: take the top (K + CAP) corners, THEN
+    # test their distances against the predicted features — (K+CAP, CAP)
+    # instead of the all-pairs (H·W, CAP) distance field (which
+    # materialized ~2 GB/frame at the pixels-bench operating point and
+    # was the #2 kernel group in the pixels HLO dump, docs/BENCH.md r2k).
+    # Exact unless more than CAP suppressed corners fall INSIDE the
+    # exclusion disks while ranking above still-clear true picks — with
+    # non-max suppression and disks of radius ~2·NMS that would need an
+    # implausible corner pile-up; the reference picks a single best
+    # corner per deficit from the same masked map (initialize_features.m).
+    k = cfg.map.max_new_per_step
+    cand = k + pred_px.shape[0]
+    yx, vals = fast.top_corners(score, cand)            # (cand, 2)
+    d2 = ((yx[:, 0:1].astype(img.dtype) - pred_px[None, :, 1]) ** 2
+          + (yx[:, 1:2].astype(img.dtype) - pred_px[None, :, 0]) ** 2)
+    d2 = jnp.where(pred_mask[None, :], d2, jnp.inf)
     clear = jnp.min(d2, axis=-1) > v.exclusion_radius ** 2
-    score = score * border_ok * clear
-    yx, vals = fast.top_corners(score, cfg.map.max_new_per_step)
+    vals = vals * clear
+    order = jnp.argsort(-vals)[:k]
+    yx, vals = yx[order], vals[order]
     uv = jnp.stack([yx[:, 1], yx[:, 0]], axis=-1).astype(img.dtype)
     return uv, vals > 0.0
 

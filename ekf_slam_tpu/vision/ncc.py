@@ -16,10 +16,18 @@ correlation via einsum on the MXU.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from ekf_slam_tpu.filter.association import mahalanobis2
+
+# NCC lowering form (A/B knob; see ncc_scores_all): "shift" = t² fused
+# shift-multiply-adds + integral-image norms (VPU), "conv" = grouped
+# VALID convolutions — one MXU pass per feature group on TPU, measured
+# 82% of the whole image-path step (docs/BENCH.md r2k).
+_FORM = os.environ.get("EKF_NCC", "shift")
 
 
 def extract_patch(img: jnp.ndarray, center_uv: jnp.ndarray,
@@ -64,8 +72,39 @@ def ncc_scores_all(windows: jnp.ndarray,
     C, t, _ = templates.shape
     n = t * t
     dt = windows.dtype
+    W2 = windows.shape[-1]
+    R2 = W2 - t + 1
     tm = templates - jnp.mean(templates, axis=(-2, -1), keepdims=True)
     tnorm = jnp.sqrt(jnp.sum(tm * tm, axis=(-2, -1)) + 1e-12)   # (C,)
+
+    if _FORM == "shift":
+        # Shift-and-FMA correlation: t² static-slice multiply-adds over
+        # the (C, R2, R2) output — pure fused VPU work. The grouped-conv
+        # form below lowers to one MXU pass PER GROUP on TPU and was 82%
+        # of the whole image-path step (134.6M estimated cycles, pixels
+        # HLO dump, docs/BENCH.md r2k). Per-offset patch sums/norms come
+        # from two integral images (exclusive 2-D prefix sums + four
+        # static slices) instead of box-filter convolutions.
+        corr = jnp.zeros(windows.shape[:-2] + (R2, R2), dt)
+        for dy in range(t):
+            for dx in range(t):
+                corr = corr + (windows[..., dy:dy + R2, dx:dx + R2]
+                               * tm[..., dy, dx][..., None, None])
+
+        def boxsum(x):
+            ii = jnp.cumsum(jnp.cumsum(x, axis=-2), axis=-1)
+            ii = jnp.pad(ii, ((0, 0),) * (x.ndim - 2)
+                         + ((1, 0), (1, 0)))
+            return (ii[..., t:t + R2, t:t + R2]
+                    - ii[..., 0:R2, t:t + R2]
+                    - ii[..., t:t + R2, 0:R2]
+                    + ii[..., 0:R2, 0:R2])
+
+        box = boxsum(windows)
+        sq = boxsum(windows * windows)
+        var = jnp.maximum(sq - box * box / n, 0.0)
+        return corr / (jnp.sqrt(var + 1e-12)
+                       * tnorm[..., None, None])        # (C, R2, R2)
 
     lhs = windows.transpose(1, 2, 0)[None]              # (1, W, W, C)
     dn = jax.lax.conv_dimension_numbers(

@@ -259,3 +259,24 @@ def test_slam_from_pixels_e2e(matcher):
     assert bool(jnp.all(jnp.isfinite(st.x)))
     pos_err = float(jnp.linalg.norm(st.x[0:3] - xs[-1][0:3]))
     assert pos_err < 0.1, pos_err
+
+
+def test_ncc_shift_form_matches_conv():
+    """EKF_NCC=shift (fused shift-FMA + integral-image norms) equals the
+    grouped-conv NCC to fp noise, including argmax positions."""
+    import numpy as np
+    from ekf_slam_tpu.vision import ncc
+    rng = np.random.default_rng(3)
+    win = jnp.asarray(rng.uniform(0, 1, (7, 37, 37)).astype(np.float32))
+    tpl = jnp.asarray(rng.uniform(0, 1, (7, 13, 13)).astype(np.float32))
+    old = ncc._FORM
+    try:
+        ncc._FORM = "conv"
+        a = np.asarray(ncc.ncc_scores_all(win, tpl))
+        ncc._FORM = "shift"
+        b = np.asarray(ncc.ncc_scores_all(win, tpl))
+    finally:
+        ncc._FORM = old
+    np.testing.assert_allclose(a, b, atol=2e-4)
+    np.testing.assert_array_equal(a.reshape(7, -1).argmax(-1),
+                                  b.reshape(7, -1).argmax(-1))
