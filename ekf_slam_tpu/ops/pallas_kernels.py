@@ -781,3 +781,56 @@ def pallas_supported() -> bool:
     except Exception:  # pragma: no cover
         return False
     return plat in ("tpu", "axon")
+
+
+def _ncc_corr_kernel(win_ref, tm_ref, out_ref):
+    """Zero-mean-template correlation with the PAIR index in lanes:
+    win (W2, W2, 128), tm (t², 128) -> out (R2, R2, 128), all f32.
+    out[oy, ox, n] = Σ_{dy,dx} win[oy+dy, ox+dx, n] · tm[dy·t+dx, n] —
+    t² statically-unrolled vector FMAs over (R2, R2, 128) tiles. No
+    dots, so no in-kernel precision pin is needed (pure f32 VPU math)."""
+    R2 = out_ref.shape[0]
+    t = int(round(tm_ref.shape[0] ** 0.5))
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for dy in range(t):
+        for dx in range(t):
+            acc = acc + (win_ref[dy:dy + R2, dx:dx + R2, :]
+                         * tm_ref[dy * t + dx, :][None, None, :])
+    out_ref[...] = acc
+
+
+def ncc_corr(windows: jnp.ndarray, tm: jnp.ndarray) -> jnp.ndarray:
+    """Correlation numerator of the NCC matcher for N (window, template)
+    pairs: windows (N, W2, W2), tm (N, t, t) ZERO-MEAN templates ->
+    (N, R2, R2), R2 = W2 − t + 1, f32.
+
+    XLA's grouped-conv lowering of this op runs one MXU pass per feature
+    group — 82% of the whole image-path step at the pixels-bench
+    operating point despite the entire input being ~35 MB (pixels HLO
+    dump, docs/BENCH.md r2k). Here pairs ride the 128-lane axis and the
+    t² kernel taps are unrolled as fused vector FMAs. Batched via vmap
+    (leading batch axes become extra grid axes)."""
+    if windows.ndim > 3:
+        return jax.vmap(ncc_corr)(windows, tm)
+    N, W2, _ = windows.shape
+    t = tm.shape[-1]
+    R2 = W2 - t + 1
+    lanes = 128
+    Np = pl.cdiv(N, lanes) * lanes
+    winT = jnp.moveaxis(windows, 0, -1)                 # (W2, W2, N)
+    tmT = tm.reshape(N, t * t).T                        # (t², N)
+    if Np != N:
+        winT = jnp.pad(winT, ((0, 0), (0, 0), (0, Np - N)))
+        tmT = jnp.pad(tmT, ((0, 0), (0, Np - N)))
+    out = pl.pallas_call(
+        _ncc_corr_kernel,
+        out_shape=jax.ShapeDtypeStruct((R2, R2, Np), jnp.float32),
+        grid=(Np // lanes,),
+        in_specs=[
+            pl.BlockSpec((W2, W2, lanes), lambda i: (0, 0, i)),
+            pl.BlockSpec((t * t, lanes), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((R2, R2, lanes), lambda i: (0, 0, i)),
+        interpret=_INTERPRET[0],
+    )(winT.astype(jnp.float32), tmT.astype(jnp.float32))
+    return jnp.moveaxis(out, -1, 0)[:N]

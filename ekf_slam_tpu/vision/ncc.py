@@ -23,11 +23,21 @@ import jax.numpy as jnp
 
 from ekf_slam_tpu.filter.association import mahalanobis2
 
-# NCC lowering form (A/B knob; see ncc_scores_all): "shift" = t² fused
-# shift-multiply-adds + integral-image norms (VPU), "conv" = grouped
-# VALID convolutions — one MXU pass per feature group on TPU, measured
-# 82% of the whole image-path step (docs/BENCH.md r2k).
-_FORM = os.environ.get("EKF_NCC", "shift")
+# NCC lowering form (A/B knob; see ncc_scores_all): "conv" = grouped
+# VALID convolutions (one MXU pass per feature group on TPU — 82% of the
+# image-path step at HIGHEST precision, docs/BENCH.md r2k), "shift" = t²
+# shift-multiply-adds + integral-image norms — measured WORSE (283.6 vs
+# 393.4 steps/s: the unrolled FMA chain does not fuse into one pass).
+_FORM = os.environ.get("EKF_NCC", "conv")
+
+# Grouped-conv matmul precision. Grayscale NCC in [-1, 1] against a 0.8
+# acceptance threshold does not need 6-pass f32 emulation; "high"
+# (3-pass) halves the MXU work, "default" (one bf16 pass) is ~1e-3 score
+# noise — both A/B'd against the matcher's behavior before defaulting.
+_PREC = {"highest": jax.lax.Precision.HIGHEST,
+         "high": jax.lax.Precision.HIGH,
+         "default": jax.lax.Precision.DEFAULT}[
+    os.environ.get("EKF_NCC_PREC", "highest")]
 
 
 def extract_patch(img: jnp.ndarray, center_uv: jnp.ndarray,
@@ -49,6 +59,17 @@ def extract_patch_anchored(img: jnp.ndarray, center_uv: jnp.ndarray,
     v0 = jnp.clip(jnp.round(center_uv[1]).astype(jnp.int32) - half,
                   0, H - size)
     return jax.lax.dynamic_slice(img, (v0, u0), (size, size)), u0, v0
+
+
+def _boxsum(x: jnp.ndarray, t: int, R2: int) -> jnp.ndarray:
+    """Per-offset t×t patch sums of (..., W2, W2) windows via integral
+    images: two prefix-sum scans + four static slices, no convolution."""
+    ii = jnp.cumsum(jnp.cumsum(x, axis=-2), axis=-1)
+    ii = jnp.pad(ii, ((0, 0),) * (x.ndim - 2) + ((1, 0), (1, 0)))
+    return (ii[..., t:t + R2, t:t + R2]
+            - ii[..., 0:R2, t:t + R2]
+            - ii[..., t:t + R2, 0:R2]
+            + ii[..., 0:R2, 0:R2])
 
 
 def ncc_scores(window: jnp.ndarray, template: jnp.ndarray) -> jnp.ndarray:
@@ -77,6 +98,15 @@ def ncc_scores_all(windows: jnp.ndarray,
     tm = templates - jnp.mean(templates, axis=(-2, -1), keepdims=True)
     tnorm = jnp.sqrt(jnp.sum(tm * tm, axis=(-2, -1)) + 1e-12)   # (C,)
 
+    if _FORM == "pallas":
+        from ekf_slam_tpu.ops import pallas_kernels as pk
+        if pk.pallas_supported() or pk._INTERPRET[0]:
+            corr = pk.ncc_corr(windows, tm)             # (C, R2, R2)
+            box = _boxsum(windows, t, R2)
+            sq = _boxsum(windows * windows, t, R2)
+            var = jnp.maximum(sq - box * box / n, 0.0)
+            return corr / (jnp.sqrt(var + 1e-12)
+                           * tnorm[..., None, None])
     if _FORM == "shift":
         # Shift-and-FMA correlation: t² static-slice multiply-adds over
         # the (C, R2, R2) output — pure fused VPU work. The grouped-conv
@@ -90,18 +120,8 @@ def ncc_scores_all(windows: jnp.ndarray,
             for dx in range(t):
                 corr = corr + (windows[..., dy:dy + R2, dx:dx + R2]
                                * tm[..., dy, dx][..., None, None])
-
-        def boxsum(x):
-            ii = jnp.cumsum(jnp.cumsum(x, axis=-2), axis=-1)
-            ii = jnp.pad(ii, ((0, 0),) * (x.ndim - 2)
-                         + ((1, 0), (1, 0)))
-            return (ii[..., t:t + R2, t:t + R2]
-                    - ii[..., 0:R2, t:t + R2]
-                    - ii[..., t:t + R2, 0:R2]
-                    + ii[..., 0:R2, 0:R2])
-
-        box = boxsum(windows)
-        sq = boxsum(windows * windows)
+        box = _boxsum(windows, t, R2)
+        sq = _boxsum(windows * windows, t, R2)
         var = jnp.maximum(sq - box * box / n, 0.0)
         return corr / (jnp.sqrt(var + 1e-12)
                        * tnorm[..., None, None])        # (C, R2, R2)
@@ -114,7 +134,7 @@ def ncc_scores_all(windows: jnp.ndarray,
         return jax.lax.conv_general_dilated(
             x, k, (1, 1), "VALID", dimension_numbers=dn,
             feature_group_count=C,
-            precision=jax.lax.Precision.HIGHEST)[0]     # (R2, R2, C)
+            precision=_PREC)[0]                         # (R2, R2, C)
 
     corr = gconv(lhs, tm.transpose(1, 2, 0)[:, :, None, :])
     ones = jnp.ones((t, t, 1, C), dt)

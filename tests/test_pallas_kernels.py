@@ -261,3 +261,31 @@ def test_corr_apply_expr_mode():
     d_got = np.asarray(got) - np.asarray(got).T
     d_p = np.asarray(P) - np.asarray(P).T
     assert np.abs(d_got - d_p).max() < 1e-6
+
+
+def test_ncc_corr_matches_conv_form():
+    """ops.pallas_kernels.ncc_corr (interpret mode) equals the grouped-
+    conv NCC numerator, batched and unbatched, incl. non-multiple-of-128
+    pair counts."""
+    import numpy as np
+    from ekf_slam_tpu.ops import pallas_kernels as pk
+    from ekf_slam_tpu.vision import ncc
+    rng = np.random.default_rng(9)
+    win = jnp.asarray(rng.uniform(0, 1, (100, 37, 37)).astype(np.float32))
+    tpl = jnp.asarray(rng.uniform(0, 1, (100, 13, 13)).astype(np.float32))
+    old_form = ncc._FORM
+    try:
+        ncc._FORM = "conv"
+        want = np.asarray(ncc.ncc_scores_all(win, tpl))
+        pk._INTERPRET[0] = True
+        ncc._FORM = "pallas"
+        got = np.asarray(ncc.ncc_scores_all(win, tpl))
+        got_b = np.asarray(jax.vmap(ncc.ncc_scores_all)(
+            jnp.stack([win, win * 0.5 + 0.1]), jnp.stack([tpl, tpl])))
+    finally:
+        pk._INTERPRET[0] = False
+        ncc._FORM = old_form
+    np.testing.assert_allclose(got, want, atol=2e-4)
+    np.testing.assert_allclose(got_b[0], got, atol=1e-6)
+    np.testing.assert_array_equal(
+        want.reshape(100, -1).argmax(-1), got.reshape(100, -1).argmax(-1))
