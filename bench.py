@@ -46,7 +46,7 @@ def main_pixels():
     from ekf_slam_tpu.config import VisionConfig
     from ekf_slam_tpu.vision import frontend
 
-    b = int(os.environ.get("BENCH_PIXB", "64"))
+    b = int(os.environ.get("BENCH_PIXB", "32"))
     cap = int(os.environ.get("BENCH_CAP", "100"))
     cfg = EngineConfig(
         filter=FilterConfig(gain_solver=os.environ.get("BENCH_GAIN",

@@ -31,13 +31,14 @@ from ekf_slam_tpu.filter.association import mahalanobis2
 _FORM = os.environ.get("EKF_NCC", "conv")
 
 # Grouped-conv matmul precision. Grayscale NCC in [-1, 1] against a 0.8
-# acceptance threshold does not need 6-pass f32 emulation; "high"
-# (3-pass) halves the MXU work, "default" (one bf16 pass) is ~1e-3 score
-# noise — both A/B'd against the matcher's behavior before defaulting.
+# acceptance threshold does not need 6-pass f32 emulation: "high"
+# (3-pass bf16 emulation, ~f32-grade for these magnitudes) measured +9%
+# on the pixels bench and is the default; "default" (one bf16 pass,
+# ~1e-3 score noise) is the A/B edge.
 _PREC = {"highest": jax.lax.Precision.HIGHEST,
          "high": jax.lax.Precision.HIGH,
          "default": jax.lax.Precision.DEFAULT}[
-    os.environ.get("EKF_NCC_PREC", "highest")]
+    os.environ.get("EKF_NCC_PREC", "high")]
 
 
 def extract_patch(img: jnp.ndarray, center_uv: jnp.ndarray,
