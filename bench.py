@@ -33,7 +33,7 @@ from ekf_slam_tpu.filter.state import init_state
 from ekf_slam_tpu.sim import simulate
 
 BATCH = int(os.environ.get("BENCH_BATCH", "512"))  # instances per chip
-FRAMES = int(os.environ.get("BENCH_FRAMES", "8"))  # frames per timed run
+FRAMES = int(os.environ.get("BENCH_FRAMES", "16"))  # frames per timed run
 TARGET = 10_000.0  # steps/sec/chip (BASELINE.json north star)
 
 
