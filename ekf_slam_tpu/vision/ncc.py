@@ -99,6 +99,31 @@ def ncc_scores_all(windows: jnp.ndarray,
     tm = templates - jnp.mean(templates, axis=(-2, -1), keepdims=True)
     tnorm = jnp.sqrt(jnp.sum(tm * tm, axis=(-2, -1)) + 1e-12)   # (C,)
 
+    if _FORM == "im2col":
+        # ONE shaped gather builds patches in a (t, t, C, R2²) layout —
+        # the two MINOR dims are (C, R2²) (pad ~1.07x, vs the naive
+        # (C,R2,R2,t,t) whose (t,t) minor dims tile-pad ~20x = the
+        # round-1 "27 GB" form) — then the correlation is a single fused
+        # multiply-reduce over the two MAJOR (tap) axes: every patch
+        # element is read exactly once, no grouped conv, f32-exact.
+        oy, ox = jnp.meshgrid(jnp.arange(R2), jnp.arange(R2),
+                              indexing="ij")
+        offs = jnp.stack([oy.reshape(-1), ox.reshape(-1)], -1)  # (R2²,2)
+        starts = jnp.concatenate([
+            jnp.broadcast_to(jnp.arange(C)[:, None, None],
+                             (C, R2 * R2, 1)),
+            jnp.broadcast_to(offs[None], (C, R2 * R2, 2))], -1)
+        gdn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(0, 1), collapsed_slice_dims=(0,),
+            start_index_map=(0, 1, 2))
+        patches = jax.lax.gather(
+            windows, starts, gdn, slice_sizes=(1, t, t))  # (t,t,C,R2²)
+        corr = jnp.sum(patches * tm.transpose(1, 2, 0)[:, :, :, None],
+                       axis=(0, 1)).reshape(C, R2, R2)
+        box = _boxsum(windows, t, R2)
+        sq = _boxsum(windows * windows, t, R2)
+        var = jnp.maximum(sq - box * box / n, 0.0)
+        return corr / (jnp.sqrt(var + 1e-12) * tnorm[..., None, None])
     if _FORM == "pallas":
         from ekf_slam_tpu.ops import pallas_kernels as pk
         if pk.pallas_supported() or pk._INTERPRET[0]:
