@@ -85,12 +85,18 @@ def ncc_scores_all(windows: jnp.ndarray,
     """Zero-mean NCC of per-feature templates (C, t, t) against every
     offset of per-feature windows (C, t+2R, t+2R) -> (C, 2R+1, 2R+1).
 
-    Fast-NCC formulation: the numerator is a grouped VALID convolution of
-    the windows with the zero-mean templates (patch means drop out because
-    Σ tm = 0), and the per-offset patch norms come from box-filter
-    convolutions of the window and its square — no (R2, R2, t, t) patch
-    materialization (the previous sliding-gather form materialized 27 GB
-    at the pixels-bench operating point B=64, CAP=100, R=12, t=13)."""
+    Fast-NCC: the numerator needs no patch means (they drop out because
+    Σ tm = 0) and the per-offset patch norms come from window sums /
+    sums-of-squares — never the (R2, R2, t, t) patch materialization
+    (the round-1 sliding-gather form tile-padded to ~27 GB at the
+    pixels-bench operating point B=64, CAP=100, R=12, t=13).
+
+    EKF_NCC selects the numerator lowering (docs/BENCH.md r2k measured
+    all five on device): "conv" grouped VALID convolution — the DEFAULT
+    and, despite lowering to one MXU pass per feature group, still the
+    fastest; "shift" t² fused FMA chain; "pallas" lane-parallel kernel;
+    "im2col" shaped-gather + fused multiply-reduce. All pinned equal in
+    tests (2e-4, identical argmax)."""
     C, t, _ = templates.shape
     n = t * t
     dt = windows.dtype
