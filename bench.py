@@ -32,7 +32,7 @@ from ekf_slam_tpu.filter import engine
 from ekf_slam_tpu.filter.state import init_state
 from ekf_slam_tpu.sim import simulate
 
-BATCH = int(os.environ.get("BENCH_BATCH", "512"))  # instances per chip
+BATCH = int(os.environ.get("BENCH_BATCH", "256"))  # instances per chip
 FRAMES = int(os.environ.get("BENCH_FRAMES", "16"))  # frames per timed run
 TARGET = 10_000.0  # steps/sec/chip (BASELINE.json north star)
 
