@@ -275,8 +275,13 @@ def test_ncc_shift_form_matches_conv():
         a = np.asarray(ncc.ncc_scores_all(win, tpl))
         ncc._FORM = "shift"
         b = np.asarray(ncc.ncc_scores_all(win, tpl))
+        ncc._FORM = "im2col"
+        c = np.asarray(ncc.ncc_scores_all(win, tpl))
     finally:
         ncc._FORM = old
     np.testing.assert_allclose(a, b, atol=2e-4)
+    np.testing.assert_allclose(a, c, atol=2e-4)
     np.testing.assert_array_equal(a.reshape(7, -1).argmax(-1),
                                   b.reshape(7, -1).argmax(-1))
+    np.testing.assert_array_equal(a.reshape(7, -1).argmax(-1),
+                                  c.reshape(7, -1).argmax(-1))
