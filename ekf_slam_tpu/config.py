@@ -169,6 +169,13 @@ class RansacConfig:
     >= 7% already terminate the loop within 64 iterations
     (log(0.01)/log(1-0.07) ≈ 63.6) and SLAM association typically runs far
     above that ratio. See tests/test_ransac.py for the equivalence test.
+
+    Do NOT shrink the budget to a shorter run's measured minimum: a fixed
+    count must cover the WORST frame of the longest intended sequence.
+    Measured on the bench workload (docs/BENCH.md "NHYP horizon study"):
+    32 hypotheses track 16-frame sequences but go non-finite at 24 frames,
+    while 64 stay clean — one bad association compounds over the
+    map-building horizon.
     """
 
     p_at_least_one_spurious_free: float = 0.99  # ransac_hypotheses.m:3
