@@ -28,6 +28,11 @@ from ekf_slam_tpu.filter.association import mahalanobis2
 # image-path step at HIGHEST precision, docs/BENCH.md r2k), "shift" = t²
 # shift-multiply-adds + integral-image norms — measured WORSE (283.6 vs
 # 393.4 steps/s: the unrolled FMA chain does not fuse into one pass).
+# "plane" (match_all only) = full-image im2col + ONE dense matmul against
+# ALL templates — the frame is unbatched under the instance vmap, so the
+# im2col and the norm planes are built once per frame for the whole batch
+# and the correlation becomes a single (H·W, t²) x (t², B·CAP) MXU dot
+# instead of B·CAP tiny grouped-conv passes.
 _FORM = os.environ.get("EKF_NCC", "conv")
 
 # Grouped-conv matmul precision. Grayscale NCC in [-1, 1] against a 0.8
@@ -209,6 +214,34 @@ def crosscorr_svd(a: jnp.ndarray, b: jnp.ndarray):
     return jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
 
 
+def _select_candidate(scores: jnp.ndarray, u0: jnp.ndarray, v0: jnp.ndarray,
+                      h_pred: jnp.ndarray, S: jnp.ndarray, half_t: int,
+                      chi2_gate: float, min_ncc: float, dtype):
+    """χ²-gated argmax over one feature's (2R+1, 2R+1) score window.
+
+    Candidate pixel coordinates come from the CLAMPED window anchor: near
+    the border the window shifts inside the image, so offset (bx, by)
+    lands the template center at (u0+half_t+bx, v0+half_t+by) — deriving
+    z from h_pred + offset there would bias the measurement by the clamp
+    amount (up to R+half_t px) and could even leave the image. The
+    innovation used for the chi^2 gate is measured against h_pred from
+    the same true candidate positions (matching.m keeps its search
+    coordinates in the image frame throughout, matching.m:21-38)."""
+    k = jnp.arange(scores.shape[-1], dtype=dtype)
+    cu = u0.astype(dtype) + half_t + k                   # candidate u coords
+    cv = v0.astype(dtype) + half_t + k                   # candidate v coords
+    du, dv = jnp.meshgrid(cu - h_pred[0], cv - h_pred[1], indexing="xy")
+    nu = jnp.stack([du, dv], axis=-1)                    # true innovation
+    gate = mahalanobis2(nu, S) < chi2_gate               # χ² ellipse mask
+    masked = jnp.where(gate, scores, -jnp.inf)
+    best = jnp.argmax(masked)
+    by, bx = best // scores.shape[1], best % scores.shape[1]
+    score = masked[by, bx]
+    z = jnp.stack([cu[bx], cv[by]])
+    found = jnp.isfinite(score) & (score > min_ncc)
+    return z, jnp.where(jnp.isfinite(score), score, -1.0), found
+
+
 def match_feature(img: jnp.ndarray, template: jnp.ndarray,
                   h_pred: jnp.ndarray, S: jnp.ndarray, chi2_gate: float,
                   search_radius: int, min_ncc: float):
@@ -222,36 +255,102 @@ def match_feature(img: jnp.ndarray, template: jnp.ndarray,
     half_t = t // 2
     win, u0, v0 = extract_patch_anchored(img, h_pred, search_radius + half_t)
     scores = ncc_scores(win, template)                   # (2R+1, 2R+1)
-    # Candidate pixel coordinates come from the CLAMPED window anchor: near
-    # the border the window shifts inside the image, so offset (bx, by)
-    # lands the template center at (u0+half_t+bx, v0+half_t+by) — deriving
-    # z from h_pred + offset there would bias the measurement by the clamp
-    # amount (up to R+half_t px) and could even leave the image. The
-    # innovation used for the chi^2 gate is measured against h_pred from
-    # the same true candidate positions (matching.m keeps its search
-    # coordinates in the image frame throughout, matching.m:21-38).
+    return _select_candidate(scores, u0, v0, h_pred, S, half_t,
+                             chi2_gate, min_ncc, img.dtype)
+
+
+def ncc_scores_plane(img: jnp.ndarray, templates: jnp.ndarray,
+                     h_pred: jnp.ndarray, search_radius: int):
+    """Full-image NCC for all features at once (EKF_NCC=plane).
+
+    The windowed forms above evaluate only each feature's (2R+1)² offsets
+    but lower to one tiny MXU pass per feature (grouped conv) or to
+    VPU-bound chains — measured 82% of the whole image-path step
+    (docs/BENCH.md r2k). Here the correlation numerator is computed for
+    EVERY valid template anchor of the frame as ONE dense matmul:
+
+      im2col(img): (Yv·Xv, t²)   — t² static slices of the SHARED frame;
+      corr = im2col @ tmᵀ:       (Yv·Xv, t²) x (t², C) on the MXU.
+
+    Under the per-instance vmap the frame operand is unbatched, so XLA
+    builds the im2col and the box/variance planes ONCE per frame and the
+    dot batches to (Yv·Xv, t²) x (t², B·C) — full MXU lanes instead of
+    B·C one-channel passes. ~112x more MACs than the windowed search
+    (70k anchors vs 625 per feature) but >100x better MXU utilization.
+    Per-feature (2R+1)² score windows are then gathered at the SAME
+    clamped anchors as extract_patch_anchored, so the candidate set —
+    and hence match_all's output — is identical to the windowed forms.
+
+    Returns (scores (C, 2R+1, 2R+1), u0 (C,), v0 (C,)).
+    """
+    C, t, _ = templates.shape
+    H, W = img.shape
+    n = t * t
+    half_t = t // 2
     R = search_radius
-    k = jnp.arange(2 * R + 1, dtype=img.dtype)
-    cu = u0.astype(img.dtype) + half_t + k               # candidate u coords
-    cv = v0.astype(img.dtype) + half_t + k               # candidate v coords
-    du, dv = jnp.meshgrid(cu - h_pred[0], cv - h_pred[1], indexing="xy")
-    nu = jnp.stack([du, dv], axis=-1)                    # true innovation
-    gate = mahalanobis2(nu, S) < chi2_gate               # χ² ellipse mask
-    masked = jnp.where(gate, scores, -jnp.inf)
-    best = jnp.argmax(masked)
-    by, bx = best // scores.shape[1], best % scores.shape[1]
-    score = masked[by, bx]
-    z = jnp.stack([cu[bx], cv[by]])
-    found = jnp.isfinite(score) & (score > min_ncc)
-    return z, jnp.where(jnp.isfinite(score), score, -1.0), found
+    Yv, Xv = H - t + 1, W - t + 1        # valid template-anchor plane
+    size = t + 2 * R                     # windowed-form window size
+    W2s = 2 * R + 1
+    u0 = jnp.clip(jnp.round(h_pred[:, 0]).astype(jnp.int32) - (R + half_t),
+                  0, W - size)
+    v0 = jnp.clip(jnp.round(h_pred[:, 1]).astype(jnp.int32) - (R + half_t),
+                  0, H - size)
+    tm = templates - jnp.mean(templates, axis=(-2, -1), keepdims=True)
+    tnorm = jnp.sqrt(jnp.sum(tm * tm, axis=(-2, -1)) + 1e-12)   # (C,)
+
+    cols = jnp.stack([img[dy:dy + Yv, dx:dx + Xv]
+                      for dy in range(t) for dx in range(t)],
+                     axis=-1)                            # (Yv, Xv, t²)
+    corr = jax.lax.dot_general(
+        cols.reshape(Yv * Xv, n), tm.reshape(C, n).T,
+        (((1,), (0,)), ((), ())),
+        precision=_PREC).reshape(Yv, Xv, C)
+    # Shared per-anchor patch sums / sums-of-squares: one reduction over
+    # the tap axis (identical summands to the windowed _boxsum forms).
+    box = jnp.sum(cols, axis=-1)                         # (Yv, Xv)
+    sq = jnp.sum(cols * cols, axis=-1)
+    var = jnp.maximum(sq - box * box / n, 0.0)
+
+    # Per-feature (2R+1)² windows at the clamped anchors. corr is batched
+    # under the instance vmap (one relayout copy — cheap next to the
+    # grouped conv it replaces); var is unbatched (batched-indices gather).
+    starts3 = jnp.stack([v0, u0, jnp.arange(C, dtype=jnp.int32)], axis=-1)
+    gdn3 = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(2,),
+        start_index_map=(0, 1, 2))
+    win_corr = jax.lax.gather(corr, starts3, gdn3,
+                              slice_sizes=(W2s, W2s, 1))  # (C, W2s, W2s)
+    starts2 = jnp.stack([v0, u0], axis=-1)
+    gdn2 = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(),
+        start_index_map=(0, 1))
+    win_var = jax.lax.gather(var, starts2, gdn2,
+                             slice_sizes=(W2s, W2s))      # (C, W2s, W2s)
+    scores = win_corr / (jnp.sqrt(win_var + 1e-12)
+                         * tnorm[:, None, None])
+    return scores, u0, v0
 
 
 def match_all(img: jnp.ndarray, templates: jnp.ndarray, h_pred: jnp.ndarray,
               S: jnp.ndarray, visible: jnp.ndarray, chi2_gate: float,
               search_radius: int, min_ncc: float):
-    """vmapped over CAP features. Returns (z (CAP,2), score, found)."""
-    z, score, found = jax.vmap(
-        lambda tmpl, h, s: match_feature(
-            img, tmpl, h, s, chi2_gate, search_radius, min_ncc)
-    )(templates, h_pred, S)
+    """All-feature NCC search. Returns (z (CAP,2), score, found).
+
+    EKF_NCC=plane routes through the full-image matmul form; every other
+    form extracts per-feature windows and scores them (vmapped
+    match_feature). Output is identical across forms (pinned in
+    tests/test_vision.py)."""
+    if _FORM == "plane":
+        t = templates.shape[-1]
+        scores, u0, v0 = ncc_scores_plane(img, templates, h_pred,
+                                          search_radius)
+        z, score, found = jax.vmap(
+            lambda sc, a, b, h, s: _select_candidate(
+                sc, a, b, h, s, t // 2, chi2_gate, min_ncc, img.dtype)
+        )(scores, u0, v0, h_pred, S)
+    else:
+        z, score, found = jax.vmap(
+            lambda tmpl, h, s: match_feature(
+                img, tmpl, h, s, chi2_gate, search_radius, min_ncc)
+        )(templates, h_pred, S)
     return z, score, found & visible

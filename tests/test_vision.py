@@ -285,3 +285,35 @@ def test_ncc_shift_form_matches_conv():
                                   b.reshape(7, -1).argmax(-1))
     np.testing.assert_array_equal(a.reshape(7, -1).argmax(-1),
                                   c.reshape(7, -1).argmax(-1))
+
+
+def test_ncc_plane_form_matches_conv_match_all():
+    """EKF_NCC=plane (full-image im2col matmul + window gathers) produces
+    the SAME matches as the windowed grouped-conv form — same candidate
+    anchors (incl. border clamping), scores to fp noise, identical picks."""
+    import numpy as np
+    from ekf_slam_tpu.vision import ncc
+    rng = np.random.default_rng(7)
+    H, W, C, t, R = 120, 160, 9, 13, 12
+    img = jnp.asarray(rng.uniform(0, 1, (H, W)).astype(np.float32))
+    tpl = jnp.asarray(rng.uniform(0, 1, (C, t, t)).astype(np.float32))
+    # Predictions spread over the interior AND the border-clamp band.
+    h_pred = jnp.asarray(np.stack([
+        rng.uniform(-5, W + 5, C), rng.uniform(-5, H + 5, C)], -1)
+        .astype(np.float32))
+    h_pred = h_pred.at[0].set(
+        jnp.array([3.0, 2.0], jnp.float32))                 # hard corner
+    h_pred = h_pred.at[1].set(jnp.array([W - 2.0, H - 1.0], jnp.float32))
+    S = jnp.broadcast_to(jnp.eye(2, dtype=jnp.float32) * 900.0, (C, 2, 2))
+    vis = jnp.ones((C,), bool)
+    old = ncc._FORM
+    try:
+        ncc._FORM = "conv"
+        za, sa, fa = ncc.match_all(img, tpl, h_pred, S, vis, 5.99, R, 0.5)
+        ncc._FORM = "plane"
+        zb, sb, fb = ncc.match_all(img, tpl, h_pred, S, vis, 5.99, R, 0.5)
+    finally:
+        ncc._FORM = old
+    np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+    np.testing.assert_allclose(np.asarray(sa), np.asarray(sb), atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(za), np.asarray(zb))
