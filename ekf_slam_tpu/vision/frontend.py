@@ -129,6 +129,13 @@ def measure_at_prior(state: FilterState, app: Appearance, img: jnp.ndarray,
     H_xv, H_y = measurement.jacobians(x_prior, h, hc, state.cartesian,
                                       cfg.camera)
     S = measurement.innovation_covariances(P_prior, H_xv, H_y, f.sigma_z)
+    # Attribution knobs (EKF_ABLATE, non-benchmark runs only): "match"
+    # skips the whole appearance matcher (warp + scoring), "ncc" keeps
+    # the template warp but skips the correlation scan — the difference
+    # isolates the NCC scoring cost ON the real bench (chained
+    # micro-timings mislead through the tunnel, docs/BENCH.md).
+    if "match" in engine._ABLATE and cfg.vision.matcher != "descriptor":
+        return h, visible, h, visible
     if cfg.vision.matcher == "descriptor":
         z, score, found = match_all_descriptor(
             img, app.descr, h, S, visible, cfg)
@@ -138,6 +145,9 @@ def measure_at_prior(state: FilterState, app: Appearance, img: jnp.ndarray,
             app.patches, app.init_pose, x_prior[:CAM_DIM], p_w,
             app.init_px, h, cfg.camera, out_size=2 * MATCH_PATCH_HALF + 1,
             distortion=cfg.vision.warp_distortion)
+        if "ncc" in engine._ABLATE:
+            return jnp.sum(templates, (-2, -1))[:, None] * 0 + h, \
+                visible, h, visible
         z, score, found = ncc.match_all(
             img, templates, h, S, visible,
             cfg.matching.chi2_inv_2_95, cfg.vision.search_radius,
