@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ekf_slam_tpu.config import CAM_DIM, EngineConfig, MapConfig, SimConfig
 from ekf_slam_tpu.filter import engine
@@ -111,3 +112,58 @@ def test_sharded_train_step_8dev_equals_unsharded():
         # still catches structural divergence on normally-updated params.
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=2e-3)
+
+
+@pytest.mark.slow
+def test_sharded_loopdb_equals_single_device():
+    """Capacity-sharded loop DB (8 shards): pushes land in the right
+    shard slots and the distributed top-k retrieval + verification
+    returns the single-device query's result."""
+    from ekf_slam_tpu.models import keypoints as kp_mod
+    from ekf_slam_tpu.models import loopclosure as lc
+    from ekf_slam_tpu.parallel import sharded_loopdb as sdb
+
+    cfg = lc.LoopConfig(capacity=32, top_k=4, exclude_recent=3, min_db=0,
+                        sim_threshold=0.5, ransac_hypotheses=16,
+                        min_inliers=6)
+    NKP, DKP, DD = 16, 6, 12
+    rng = np.random.default_rng(0)
+    T = 41                                   # > capacity: exercises the wrap
+    descrs = rng.normal(size=(T, DD)).astype(np.float32)
+    descrs /= np.linalg.norm(descrs, axis=-1, keepdims=True)
+    kp_yx = rng.uniform(0, 100, (T, NKP, 2)).astype(np.float32)
+    kp_d = rng.normal(size=(T, NKP, DKP)).astype(np.float32)
+    poses = rng.normal(size=(T, 7)).astype(np.float32)
+    kps = kp_mod.Keypoints(
+        yx=jnp.asarray(kp_yx), response=jnp.zeros((T, NKP)),
+        orientation=jnp.zeros((T, NKP)), descr=jnp.asarray(kp_d))
+
+    mesh = make_mesh()
+    db1 = lc.init_db(cfg, DD, NKP, DKP)
+    db8 = sdb.shard_db(lc.init_db(cfg, DD, NKP, DKP), mesh)
+    for i in range(T):
+        kp_i = jax.tree.map(lambda a: a[i], kps)
+        db1 = lc.push(db1, jnp.asarray(descrs[i]), kp_i,
+                      jnp.asarray(poses[i]))
+        db8 = sdb.push(db8, jnp.asarray(descrs[i]), kp_i,
+                       jnp.asarray(poses[i]), mesh)
+    for f in ("descr", "kp_yx", "kp_descr", "pose", "frame_id", "count"):
+        np.testing.assert_array_equal(np.asarray(getattr(db1, f)),
+                                      np.asarray(getattr(db8, f)), f)
+
+    # Query with a descriptor near an old frame's: same retrieval verdict.
+    q = jnp.asarray(descrs[7] + 0.01 * rng.normal(size=DD).astype(
+        np.float32))
+    q = q / jnp.linalg.norm(q)
+    kp_q = jax.tree.map(lambda a: a[7], kps)
+    r1 = lc.query(db1, q, kp_q, cfg, jax.random.key(5))
+    r8 = sdb.query(db8, q, kp_q, cfg, jax.random.key(5), mesh)
+    np.testing.assert_allclose(np.asarray(r1.similarities),
+                               np.asarray(r8.similarities), rtol=1e-6)
+    assert int(r1.best_id) == int(r8.best_id)
+    assert int(r1.best_inliers) == int(r8.best_inliers)
+    assert bool(r1.is_hypothesis) == bool(r8.is_hypothesis)
+    # The matched pose fetch crosses shards correctly.
+    np.testing.assert_allclose(
+        np.asarray(sdb.best_pose(db8, r8.best_slot, mesh)),
+        np.asarray(db1.pose[int(r1.best_slot)]), rtol=1e-6)
