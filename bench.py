@@ -53,7 +53,9 @@ def main_pixels():
                                                        "newton")),
         map=MapConfig(capacity=cap, min_features_in_image=25,
                       max_new_per_step=10, max_update_obs=64),
-        vision=VisionConfig(matcher=os.environ.get("BENCH_MATCHER", "ncc")),
+        vision=VisionConfig(
+            matcher=os.environ.get("BENCH_MATCHER", "ncc"),
+            warp_distortion=os.environ.get("BENCH_WARPDIST", "affine")),
         sim=SimConfig(num_landmarks=128),
         dtype="float32")
     scn, xs, _ = simulate(jax.random.key(0), cfg, FRAMES)
