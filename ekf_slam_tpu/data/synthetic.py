@@ -21,17 +21,11 @@ import jax.numpy as jnp
 from ekf_slam_tpu.models.vss import N_CLASSES
 
 
-def synthetic_batch(key: jax.Array, batch: int, hw=(192, 256),
-                    num_cells: int = 24):
-    """Returns (images (B,H,W,3) in [0,1], labels (B,H,W,13) one-hot)."""
+def _render_voronoi(seeds: jnp.ndarray, cell_cls: jnp.ndarray,
+                    palette: jnp.ndarray, hw, key: jax.Array):
+    """Render (B, H, W, 3) images + one-hot labels from per-scene Voronoi
+    seeds (B, N, 2), per-cell classes (B, N) and a shared palette."""
     h, w = hw
-    kc, kcls, kcol, kn = jax.random.split(key, 4)
-    # Voronoi seeds: (B, num_cells, 2) in pixel coords, a class per cell.
-    seeds = jax.random.uniform(kc, (batch, num_cells, 2)) * jnp.array([h, w])
-    cell_cls = jax.random.randint(kcls, (batch, num_cells), 0, N_CLASSES)
-    # Class-correlated palette, shared across the batch, plus per-cell jitter.
-    palette = jax.random.uniform(kcol, (N_CLASSES, 3), minval=0.1, maxval=0.9)
-
     yy = jnp.arange(h)[:, None]
     xx = jnp.arange(w)[None, :]
     grid = jnp.stack(jnp.broadcast_arrays(yy, xx), axis=-1)      # (H, W, 2)
@@ -45,9 +39,68 @@ def synthetic_batch(key: jax.Array, batch: int, hw=(192, 256),
         img = img + 0.05 * jax.random.normal(k, img.shape)
         return jnp.clip(img, 0.0, 1.0), jax.nn.one_hot(cls, N_CLASSES)
 
-    imgs, labels = jax.vmap(one)(seeds, cell_cls,
-                                 jax.random.split(kn, batch))
-    return imgs, labels
+    return jax.vmap(one)(seeds, cell_cls,
+                         jax.random.split(key, seeds.shape[0]))
+
+
+def synthetic_batch(key: jax.Array, batch: int, hw=(192, 256),
+                    num_cells: int = 24):
+    """Returns (images (B,H,W,3) in [0,1], labels (B,H,W,13) one-hot)."""
+    h, w = hw
+    kc, kcls, kcol, kn = jax.random.split(key, 4)
+    # Voronoi seeds: (B, num_cells, 2) in pixel coords, a class per cell.
+    seeds = jax.random.uniform(kc, (batch, num_cells, 2)) * jnp.array([h, w])
+    cell_cls = jax.random.randint(kcls, (batch, num_cells), 0, N_CLASSES)
+    # Class-correlated palette, shared across the batch, plus per-cell jitter.
+    palette = jax.random.uniform(kcol, (N_CLASSES, 3), minval=0.1, maxval=0.9)
+    return _render_voronoi(seeds, cell_cls, palette, hw, kn)
+
+
+def aliased_places(key: jax.Array, n_places: int, group: int = 4,
+                   hw=(192, 256), num_cells: int = 48,
+                   jitter_px: float = 0.5, distinct_cells: int = 2):
+    """Perceptually-ALIASED place set: `n_places` scenes drawn from
+    `n_places // group` structural archetypes, `group` places each.
+
+    Places within an archetype share the seed layout and class map up to
+    a sub-pixel seed jitter plus `distinct_cells` reassigned cells — the
+    repeated-architecture regime (identical corridors/facades) that makes
+    real place recognition hard. Defaults are calibrated so same-archetype
+    pairs sit at ~0.8 zero-mean pixel cosine (near-duplicates) while
+    cross-archetype pairs sit at ~0.1 (tests/test_data.py pins both). Independent scenes (synthetic_batch) are
+    mutually distinct enough that an UNTRAINED width-16 CALC2 already
+    ranks them at PR-AUC 0.977 (docs/CALC2_RUN.md saturation note); here
+    every query faces `group-1` near-duplicate impostors, so retrieval
+    must encode the small distinguishing structure, not the archetype.
+
+    Returns (images (n_places, H, W, 3), labels one-hot,
+    archetype_id (n_places,) int32) ordered archetype-major.
+    """
+    assert n_places % group == 0, (n_places, group)
+    n_arch = n_places // group
+    h, w = hw
+    ka, kcls, kcol, kj, kd, kdc, kn = jax.random.split(key, 7)
+    base_seeds = (jax.random.uniform(ka, (n_arch, num_cells, 2))
+                  * jnp.array([h, w]))
+    base_cls = jax.random.randint(kcls, (n_arch, num_cells), 0, N_CLASSES)
+    palette = jax.random.uniform(kcol, (N_CLASSES, 3), minval=0.1,
+                                 maxval=0.9)
+    # Per-place perturbations of the archetype.
+    seeds = (jnp.repeat(base_seeds, group, axis=0)
+             + jitter_px * jax.random.normal(
+                 kj, (n_places, num_cells, 2)))
+    # Reassign `distinct_cells` cells per place (the place identity).
+    which = jax.vmap(lambda k: jax.random.choice(
+        k, num_cells, (distinct_cells,), replace=False))(
+        jax.random.split(kd, n_places))                  # (P, distinct)
+    new_cls = jax.random.randint(kdc, (n_places, distinct_cells),
+                                 0, N_CLASSES)
+    cell_cls = jnp.repeat(base_cls, group, axis=0)
+    cell_cls = jax.vmap(lambda c, wh, nc: c.at[wh].set(nc))(
+        cell_cls, which, new_cls)
+    imgs, labels = _render_voronoi(seeds, cell_cls, palette, hw, kn)
+    arch_id = jnp.repeat(jnp.arange(n_arch, dtype=jnp.int32), group)
+    return imgs, labels, arch_id
 
 
 def class_weights(labels_onehot: jnp.ndarray) -> jnp.ndarray:

@@ -60,18 +60,42 @@ def build_shards(out_dir, n_images, hw, seed=7):
     return write_shards(out_dir, pairs(), shard_size=64)
 
 
-def eval_places(model, variables, n_places, hw, key, severity=0.0):
+def eval_places(model, variables, n_places, hw, key, severity=0.0,
+                aliasing=0):
     """CampusLoop-style pairs: memory = clean scene render; live = the same
     place through a moderate viewpoint homography + illumination change
     (augment.eval_view — the real-revisit model of test_net.py's pairs;
     mirror flips are a training-only augmentation). severity > 0 adds the
-    cross-season appearance model (augment.seasonal_change)."""
+    cross-season appearance model (augment.seasonal_change).
+
+    aliasing > 0 draws the places from `n_places / aliasing` structural
+    archetypes (data/synthetic.aliased_places) — the perceptual-aliasing
+    regime where independent-scene retrieval saturates (docs/CALC2_RUN.md);
+    adds same-archetype-impostor similarity stats to the result."""
     from ekf_slam_tpu.data import synthetic_batch
+    from ekf_slam_tpu.data.synthetic import aliased_places
     from ekf_slam_tpu.models import augment, evaluate
 
-    mem, _ = synthetic_batch(jax.random.key(1234), n_places, hw)
+    if aliasing:
+        mem, _, arch = aliased_places(jax.random.key(1234), n_places,
+                                      group=aliasing, hw=hw)
+    else:
+        mem, _ = synthetic_batch(jax.random.key(1234), n_places, hw)
+        arch = None
     live = augment.eval_view(key, mem, severity=severity)
     out = evaluate.evaluate_pairs(model, variables, live, mem, batch=8)
+    if arch is not None:
+        sim = np.asarray(out["similarity"])
+        a = np.asarray(arch)
+        eye = np.eye(n_places, dtype=bool)
+        same_arch = (a[:, None] == a[None, :]) & ~eye
+        cross = (a[:, None] != a[None, :])
+        out["true_revisit_p50"] = float(np.median(np.diag(sim)))
+        out["aliased_impostor_p50"] = float(np.median(sim[same_arch]))
+        out["aliased_impostor_p99"] = float(
+            np.percentile(sim[same_arch], 99))
+        out["cross_arch_impostor_p99"] = float(
+            np.percentile(sim[cross], 99))
     return out, live, mem
 
 
@@ -87,6 +111,10 @@ def main():
     ap.add_argument("--eval-severity", type=float, default=0.0,
                     help="cross-season appearance severity for the eval "
                          "pairs (augment.seasonal_change; 0 = off)")
+    ap.add_argument("--aliasing", type=int, default=0,
+                    help="perceptual-aliasing group size: draw the eval "
+                         "places from places/aliasing structural "
+                         "archetypes (0 = independent scenes)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -117,7 +145,7 @@ def main():
     vars0 = {"params": state0.params, "batch_stats": state0.batch_stats}
     base_eval, live, mem = eval_places(
         model, vars0, args.places, hw, jax.random.key(5),
-        severity=args.eval_severity)
+        severity=args.eval_severity, aliasing=args.aliasing)
     print(f"UNTRAINED PR-AUC: {base_eval['auc']:.4f}")
 
     n_dev = jax.device_count()
@@ -137,7 +165,12 @@ def main():
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     trained_eval, _, _ = eval_places(
         model, variables, args.places, hw, jax.random.key(5),
-        severity=args.eval_severity)
+        severity=args.eval_severity, aliasing=args.aliasing)
+    for k in ("true_revisit_p50", "aliased_impostor_p50",
+              "aliased_impostor_p99", "cross_arch_impostor_p99"):
+        if k in trained_eval:
+            print(f"  {k}: untrained {base_eval[k]:.4f} "
+                  f"-> trained {trained_eval[k]:.4f}")
     print(f"TRAINED PR-AUC: {trained_eval['auc']:.4f} "
           f"(lift {trained_eval['auc'] - base_eval['auc']:+.4f})")
 
@@ -225,9 +258,15 @@ def main():
         "loops_declared": n_declared, "loops_correct": correct,
         "loop_sim_threshold": thr,
         "eval_severity": args.eval_severity,
+        "aliasing": args.aliasing,
         "train_steps_per_s": args.steps / max(train_s, 1e-9),
         "class_weights": load_weights(data_dir).tolist(),
     }
+    for k in ("true_revisit_p50", "aliased_impostor_p50",
+              "aliased_impostor_p99", "cross_arch_impostor_p99"):
+        if k in trained_eval:
+            results[k + "_untrained"] = base_eval[k]
+            results[k] = trained_eval[k]
     with open(os.path.join(args.out, "calc2_metrics.json"), "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps({k: v for k, v in results.items()

@@ -74,3 +74,29 @@ def test_shards_feed_training(tmp_path):
     state, metrics = train.fit(model, tcfg, iter(reader), num_steps=2)
     assert int(state.step) == 2
     assert bool(jnp.isfinite(metrics["loss"]))
+
+
+def test_aliased_places_structure():
+    """Aliased place sets: same-archetype places are near-duplicates in
+    pixel space (the perceptual-aliasing regime), cross-archetype are not,
+    and every place still differs from its archetype siblings."""
+    from ekf_slam_tpu.data.synthetic import aliased_places
+    imgs, labels, arch = aliased_places(jax.random.key(3), 16, group=4,
+                                        hw=(48, 64))
+    assert imgs.shape == (16, 48, 64, 3)
+    assert labels.shape == (16, 48, 64, 13)
+    np.testing.assert_array_equal(np.asarray(arch), np.repeat(
+        np.arange(4), 4))
+    flat = np.asarray(imgs).reshape(16, -1)
+    flat = flat - flat.mean(-1, keepdims=True)
+    flat /= np.linalg.norm(flat, axis=-1, keepdims=True)
+    sim = flat @ flat.T
+    a = np.asarray(arch)
+    eye = np.eye(16, dtype=bool)
+    same = (a[:, None] == a[None, :]) & ~eye
+    cross = a[:, None] != a[None, :]
+    # Near-duplicate within an archetype, distinct across.
+    assert sim[same].mean() > 0.7, sim[same].mean()
+    assert sim[same].mean() > sim[cross].mean() + 0.5
+    # ...but no two places are pixel-identical (identity survives).
+    assert sim[same].max() < 0.999
