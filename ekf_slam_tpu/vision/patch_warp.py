@@ -22,17 +22,58 @@ distortion is ignored — the round-1 "none" mode).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 from ekf_slam_tpu.config import CameraConfig
 from ekf_slam_tpu.ops import quaternion as quat
 
+# 3x3 inverse form (A/B knob): "closed" = adjugate/determinant closed
+# form — pure fused elementwise arithmetic; "linalg" = jnp.linalg.inv /
+# solve, which lower to batched LU custom paths. The warp runs under a
+# CAP-and-instance double vmap, so each feature pays the 3x3 chain;
+# the closed form keeps it in one fusion.
+_INV3 = os.environ.get("EKF_WARP_INV", "closed")
+
+
+def inv3(M: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form 3x3 inverse (adjugate / determinant), batched over
+    leading axes. Exact-math equivalent of jnp.linalg.inv for 3x3;
+    homographies here are well-conditioned (dets ~ 1)."""
+    if _INV3 == "linalg":
+        return jnp.linalg.inv(M)
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    adj = jnp.stack([jnp.stack([A, B, C], -1),
+                     jnp.stack([D, E, F], -1),
+                     jnp.stack([G, H, I], -1)], -2)
+    return adj / det[..., None, None]
+
 
 def camera_matrix(cam: CameraConfig, dtype=jnp.float32) -> jnp.ndarray:
     fku = cam.f / cam.d
     return jnp.array([[fku, 0.0, cam.cx],
                       [0.0, fku, cam.cy],
+                      [0.0, 0.0, 1.0]], dtype)
+
+
+def camera_matrix_inv(cam: CameraConfig, dtype=jnp.float32) -> jnp.ndarray:
+    fku = cam.f / cam.d
+    return jnp.array([[1.0 / fku, 0.0, -cam.cx / fku],
+                      [0.0, 1.0 / fku, -cam.cy / fku],
                       [0.0, 0.0, 1.0]], dtype)
 
 
@@ -55,7 +96,7 @@ def plane_homography(r1, q1, r2, q2, p_w, cam: CameraConfig) -> jnp.ndarray:
     d_safe = jnp.where(d1 == 0, jnp.ones_like(d1), d1)
     n1 = p1 / d_safe
     H_metric = R + t[..., :, None] * n1[..., None, :] / d_safe[..., None]
-    return K @ H_metric @ jnp.linalg.inv(K)
+    return K @ H_metric @ camera_matrix_inv(cam, p_w.dtype)
 
 
 def warp_patch(patch: jnp.ndarray, H: jnp.ndarray, center_src,
@@ -65,6 +106,14 @@ def warp_patch(patch: jnp.ndarray, H: jnp.ndarray, center_src,
     centered at `center_dst` in the destination image, sampled by the
     INVERSE map dst->src (pred_patch_fc.m builds the same meshgrid+interp2).
     """
+    return warp_patch_inv(patch, inv3(H), center_src, center_dst, out_size)
+
+
+def warp_patch_inv(patch: jnp.ndarray, Hinv: jnp.ndarray, center_src,
+                   center_dst, out_size: int) -> jnp.ndarray:
+    """warp_patch given the PRE-INVERTED dst->src homography — the affine
+    distortion path composes this inverse in closed form, so the forward
+    H never needs to be built and re-inverted."""
     P = patch.shape[-1]
     o = out_size // 2
     d = jnp.arange(-o, o + 1, dtype=patch.dtype)
@@ -73,7 +122,6 @@ def warp_patch(patch: jnp.ndarray, H: jnp.ndarray, center_src,
     dv = gy + center_dst[1]
     ones = jnp.ones_like(du)
     pts = jnp.stack([du, dv, ones], axis=0).reshape(3, -1)
-    Hinv = jnp.linalg.inv(H)
     src = Hinv @ pts
     su = src[0] / src[2] - center_src[0] + (P // 2)
     sv = src[1] / src[2] - center_src[1] + (P // 2)
@@ -121,27 +169,55 @@ def distortion_corrected_homography(H: jnp.ndarray, center_src,
     corners with the reference calibration; tests/test_vision.py measures
     the residual at <0.1 px over a 13-px patch). One extra Newton distort
     + two 2x2 Jacobians per feature — no per-pixel round trip."""
+    A_dst, A_src, Hinv = _distortion_affine_anchors(H, center_dst, cam)
+    del center_src  # anchoring uses the true H⁻¹ image of the dst center
+    return _inv_affine(A_dst) @ H @ _inv_affine(A_src)
+
+
+def distortion_corrected_hinv(H: jnp.ndarray, center_dst,
+                              cam: CameraConfig) -> jnp.ndarray:
+    """The INVERSE distortion-corrected map A_src ∘ H⁻¹ ∘ A_dst — what
+    warp_patch_inv actually samples through — composed directly in closed
+    form (one adjugate 3x3 inverse + two affine products), instead of
+    building the forward map and LU-inverting it per feature."""
+    A_dst, A_src, Hinv = _distortion_affine_anchors(H, center_dst, cam)
+    return A_src @ Hinv @ A_dst
+
+
+def _distortion_affine_anchors(H: jnp.ndarray, center_dst,
+                               cam: CameraConfig):
+    """Shared anchor math: (A_dst, A_src, H⁻¹) with
+    A_dst: distorted dst -> undistorted dst, anchored (exactly) at
+    center_dst; A_src: undistorted src -> distorted src, anchored at
+    H⁻¹(center_dst)."""
     from ekf_slam_tpu.ops import camera as cam_ops
     dt = H.dtype
     c_dst = jnp.asarray(center_dst, dt)
-    # H maps src (init view) -> dst (current view) in undistorted pixels;
-    # warp_patch samples through inv(H_corr) applied to distorted dst
-    # pixels. We want inv(H_corr) = A_src ∘ H⁻¹ ∘ A_dst with
-    #   A_dst: distorted dst -> undistorted dst, anchored at c_dst,
-    #   A_src: undistorted src -> distorted src, anchored at H⁻¹(c_dst).
     u_dst = cam_ops.undistort(c_dst, cam)                  # anchor, exact
     Ju = cam_ops.jacob_undistort(c_dst, cam)               # d undist / d dist
     A_dst = jnp.eye(3, dtype=dt)
     A_dst = A_dst.at[:2, :2].set(Ju).at[:2, 2].set(u_dst - Ju @ c_dst)
     # Anchor through H⁻¹ (projective) -> undistorted src point.
-    s = jnp.linalg.solve(H, jnp.concatenate([u_dst, jnp.ones((1,), dt)]))
+    Hinv = inv3(H)
+    s = Hinv @ jnp.concatenate([u_dst, jnp.ones((1,), dt)])
     s_u = s[:2] / s[2]
     s_d = cam_ops.distort(s_u, cam)                        # exact anchor
     Jd = cam_ops.jacob_distort(s_d, cam)   # d dist / d undist, AT s_d
     A_src = jnp.eye(3, dtype=dt)
     A_src = A_src.at[:2, :2].set(Jd).at[:2, 2].set(s_d - Jd @ s_u)
-    del center_src  # anchoring uses the true H⁻¹ image of the dst center
-    return jnp.linalg.inv(A_dst) @ H @ jnp.linalg.inv(A_src)
+    return A_dst, A_src, Hinv
+
+
+def _inv_affine(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of an affine 3x3 (last row 0 0 1)."""
+    a, b = A[..., 0, 0], A[..., 0, 1]
+    c, d = A[..., 1, 0], A[..., 1, 1]
+    det = a * d - b * c
+    inv2 = jnp.stack([jnp.stack([d, -b], -1),
+                      jnp.stack([-c, a], -1)], -2) / det[..., None, None]
+    t = -jnp.einsum("...ij,...j->...i", inv2, A[..., :2, 2])
+    out = jnp.zeros_like(A).at[..., 2, 2].set(1.0)
+    return out.at[..., :2, :2].set(inv2).at[..., :2, 2].set(t)
 
 
 def warp_patch_distorted(patch: jnp.ndarray, H: jnp.ndarray, center_src,
@@ -163,7 +239,7 @@ def warp_patch_distorted(patch: jnp.ndarray, H: jnp.ndarray, center_src,
     dst_u = cam_ops.undistort(dst, cam)                    # (o, o, 2)
     ones = jnp.ones(dst_u.shape[:-1] + (1,), patch.dtype)
     pts = jnp.concatenate([dst_u, ones], axis=-1).reshape(-1, 3)
-    src_u = pts @ jnp.linalg.inv(H).T
+    src_u = pts @ inv3(H).T
     src_u = src_u[:, :2] / src_u[:, 2:3]
     src_d = cam_ops.distort(src_u, cam)
     su = src_d[:, 0] - center_src[0] + (P // 2)
@@ -198,7 +274,10 @@ def predict_appearance(patches: jnp.ndarray, init_pose: jnp.ndarray,
         if distortion == "exact":
             return warp_patch_distorted(patch, H, hi, hn, out_size, cam)
         if distortion == "affine":
-            H = distortion_corrected_homography(H, hi, hn, cam)
+            # Compose the dst->src sampling map directly (closed form) —
+            # no forward corrected H is ever built or re-inverted.
+            return warp_patch_inv(patch, distortion_corrected_hinv(
+                H, hn, cam), hi, hn, out_size)
         return warp_patch(patch, H, hi, hn, out_size)
 
     return jax.vmap(one)(patches, init_pose, p_w, h_init, h_now)
