@@ -37,6 +37,13 @@ from ekf_slam_tpu.ops import quaternion as quat
 # the closed form keeps it in one fusion.
 _INV3 = os.environ.get("EKF_WARP_INV", "closed")
 
+# Bilinear sampling form (A/B knob): "gather" = four per-corner gathers
+# from the vmapped patch store (batched-operand gathers relayout);
+# "dot" = one-hot interpolation-weight matrices contracted on the MXU —
+# out[k] = Wy[k,:] @ patch @ Wx[k,:]ᵀ with Wy/Wx built by iota-compare
+# (2 nonzeros per row), no gather at all. Same 4-term bilinear algebra.
+_SAMPLE = os.environ.get("EKF_WARP_SAMPLE", "gather")
+
 
 def inv3(M: jnp.ndarray) -> jnp.ndarray:
     """Closed-form 3x3 inverse (adjugate / determinant), batched over
@@ -125,18 +132,7 @@ def warp_patch_inv(patch: jnp.ndarray, Hinv: jnp.ndarray, center_src,
     src = Hinv @ pts
     su = src[0] / src[2] - center_src[0] + (P // 2)
     sv = src[1] / src[2] - center_src[1] + (P // 2)
-    # bilinear gather with clamping
-    x0 = jnp.clip(jnp.floor(su).astype(jnp.int32), 0, P - 2)
-    y0 = jnp.clip(jnp.floor(sv).astype(jnp.int32), 0, P - 2)
-    tx = jnp.clip(su - x0, 0.0, 1.0)
-    ty = jnp.clip(sv - y0, 0.0, 1.0)
-    Ia = patch[y0, x0]
-    Ib = patch[y0 + 1, x0]
-    Ic = patch[y0, x0 + 1]
-    Id = patch[y0 + 1, x0 + 1]
-    out = (Ia * (1 - tx) * (1 - ty) + Ib * (1 - tx) * ty
-           + Ic * tx * (1 - ty) + Id * tx * ty)
-    return out.reshape(out_size, out_size)
+    return _bilinear(patch, su, sv, out_size)
 
 
 def _bilinear(patch: jnp.ndarray, su: jnp.ndarray, sv: jnp.ndarray,
@@ -146,6 +142,21 @@ def _bilinear(patch: jnp.ndarray, su: jnp.ndarray, sv: jnp.ndarray,
     y0 = jnp.clip(jnp.floor(sv).astype(jnp.int32), 0, P - 2)
     tx = jnp.clip(su - x0, 0.0, 1.0)
     ty = jnp.clip(sv - y0, 0.0, 1.0)
+    if _SAMPLE == "dot":
+        # Gather-free: two-nonzero one-hot weight rows contracted against
+        # the patch. Under the CAP x instance vmap the gathers below
+        # index a batched operand (a whole-store relayout copy + padded
+        # index plumbing); this form is two clean batched contractions.
+        dt = patch.dtype
+        xi = jnp.arange(P, dtype=jnp.int32)
+        Wx = ((xi[None, :] == x0[:, None]).astype(dt) * (1 - tx)[:, None]
+              + (xi[None, :] == x0[:, None] + 1).astype(dt)
+              * tx[:, None])                                 # (K, P)
+        Wy = ((xi[None, :] == y0[:, None]).astype(dt) * (1 - ty)[:, None]
+              + (xi[None, :] == y0[:, None] + 1).astype(dt)
+              * ty[:, None])                                 # (K, P)
+        out = jnp.einsum("kp,kp->k", Wy @ patch, Wx)
+        return out.reshape(out_size, out_size)
     out = (patch[y0, x0] * (1 - tx) * (1 - ty)
            + patch[y0 + 1, x0] * (1 - tx) * ty
            + patch[y0, x0 + 1] * tx * (1 - ty)

@@ -317,3 +317,25 @@ def test_ncc_plane_form_matches_conv_match_all():
     np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
     np.testing.assert_allclose(np.asarray(sa), np.asarray(sb), atol=2e-4)
     np.testing.assert_array_equal(np.asarray(za), np.asarray(zb))
+
+
+def test_warp_bilinear_dot_matches_gather():
+    """EKF_WARP_SAMPLE=dot (one-hot weight contraction) equals the gather
+    bilinear to fp noise across random homography warps."""
+    import numpy as np
+    from ekf_slam_tpu.vision import patch_warp as pw
+    rng = np.random.default_rng(11)
+    patch = jnp.asarray(rng.uniform(0, 1, (41, 41)).astype(np.float32))
+    H = jnp.asarray((np.eye(3) + 0.02 * rng.normal(size=(3, 3)))
+                    .astype(np.float32))
+    old = pw._SAMPLE
+    try:
+        pw._SAMPLE = "gather"
+        a = np.asarray(pw.warp_patch(patch, H, jnp.array([20.0, 20.0]),
+                                     jnp.array([160.0, 120.0]), 13))
+        pw._SAMPLE = "dot"
+        b = np.asarray(pw.warp_patch(patch, H, jnp.array([20.0, 20.0]),
+                                     jnp.array([160.0, 120.0]), 13))
+    finally:
+        pw._SAMPLE = old
+    np.testing.assert_allclose(a, b, atol=1e-6)
