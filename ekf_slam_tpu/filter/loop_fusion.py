@@ -68,7 +68,15 @@ def apply_loop_constraint_pose(x: jnp.ndarray, P: jnp.ndarray,
     D = x.shape[0]
     dtype = x.dtype
     r_j, q_j = pose_j[0:3], pose_j[3:7]
-    q_j = q_j / jnp.linalg.norm(q_j)
+    # Safe normalization: an EMPTY DB slot stores an all-zero pose, and the
+    # branchless caller (models/loop_runner.make_frame_fn) evaluates this
+    # update every frame with `enabled` masking it off — a bare divide by
+    # ||0|| would NaN the gain and the NaN survives the masked ekf.update.
+    # Fall back to the identity quaternion; with `enabled` True the stored
+    # pose is a real unit quaternion so behavior is unchanged.
+    nj = jnp.linalg.norm(q_j)
+    q_j = jnp.where(nj > 1e-6, q_j / jnp.maximum(nj, 1e-6),
+                    jnp.zeros(4, dtype).at[0].set(1.0))
     q = x[3:7]
     # Hemisphere alignment: q and -q are the same rotation; measure against
     # the representative nearest the current estimate so e stays small.

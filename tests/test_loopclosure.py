@@ -166,6 +166,13 @@ def test_pose_constraint_pulls_position_and_orientation():
     sp_lo, sr_lo = loop_fusion.loop_noise_sigmas(jnp.asarray(8))
     sp_hi, sr_hi = loop_fusion.loop_noise_sigmas(jnp.asarray(64))
     assert float(sp_hi) < float(sp_lo) and float(sr_hi) < float(sr_lo)
+    # Masked update against an EMPTY db slot (all-zero pose, zero
+    # quaternion) must stay finite AND a no-op — the branchless
+    # loop_runner path evaluates this every frame before the first loop.
+    x5, P5 = loop_fusion.apply_loop_constraint_pose(
+        x, P, jnp.zeros(7, st.x.dtype), 0.01, 0.01, jnp.asarray(False))
+    assert bool(jnp.isfinite(x5).all() & jnp.isfinite(P5).all())
+    np.testing.assert_allclose(np.asarray(x5), np.asarray(x), atol=1e-6)
 
 
 def test_loop_constraint_reduces_drift_in_engine():
