@@ -33,7 +33,8 @@ class LoopStepOut(NamedTuple):
 
 
 def make_frame_fn(model, variables, lcfg: lc.LoopConfig,
-                  loop_sigma: float = 0.05, relative_pose: bool = True):
+                  loop_sigma: float = 0.05, relative_pose: bool = True,
+                  mesh=None):
     """Returns a jittable fn(db, x, P, image, key) ->
     (db, x, P, LoopStepOut): embed -> push -> query -> temporal -> fuse.
 
@@ -41,7 +42,13 @@ def make_frame_fn(model, variables, lcfg: lc.LoopConfig,
     orientation of the matched frame, close_kitti_loops.py:141-143 emits
     both poses for exactly this) with noise scaled by the verification
     inlier count; False keeps the legacy 3-DoF position snap with the
-    fixed `loop_sigma`."""
+    fixed `loop_sigma`.
+
+    mesh: a jax.sharding.Mesh with a 'data' axis routes the DB through
+    parallel/sharded_loopdb (capacity sharded over chips; identical
+    retrieval results) — pass a db placed with sharded_loopdb.shard_db."""
+    if mesh is not None:
+        from ekf_slam_tpu.parallel import sharded_loopdb as sdb
 
     def frame(db: lc.LoopDatabase, x, P, image, key):
         outs = model.apply(variables, image[None], train=False,
@@ -51,12 +58,19 @@ def make_frame_fn(model, variables, lcfg: lc.LoopConfig,
         pose = jnp.concatenate([x[0:3], x[3:7]]).astype(db.pose.dtype)
 
         warm = db.count >= lcfg.min_db
-        res = lc.query(db, descr, kps, lcfg, key)
+        res = (sdb.query(db, descr, kps, lcfg, key, mesh)
+               if mesh is not None else lc.query(db, descr, kps, lcfg, key))
         res = res._replace(is_hypothesis=res.is_hypothesis & warm)
         db2, declared, match_slot, match_frame = lc.step_temporal(
             db, res, lcfg)
-        pose_j = db2.pose[
-            jnp.clip(match_slot, 0, db2.pose.shape[0] - 1)].astype(x.dtype)
+        if mesh is not None:
+            pose_j = sdb.best_pose(
+                db2, jnp.clip(match_slot, 0, db2.pose.shape[0] - 1),
+                mesh).astype(x.dtype)
+        else:
+            pose_j = db2.pose[
+                jnp.clip(match_slot, 0, db2.pose.shape[0] - 1)].astype(
+                x.dtype)
         if relative_pose:
             sp, sr = loop_fusion.loop_noise_sigmas(res.best_inliers)
             x2, P2 = loop_fusion.apply_loop_constraint_pose(
@@ -64,7 +78,8 @@ def make_frame_fn(model, variables, lcfg: lc.LoopConfig,
         else:
             x2, P2 = loop_fusion.apply_loop_constraint(
                 x, P, pose_j[0:3], loop_sigma, declared)
-        db3 = lc.push(db2, descr, kps, pose)
+        db3 = (sdb.push(db2, descr, kps, pose, mesh)
+               if mesh is not None else lc.push(db2, descr, kps, pose))
         out = LoopStepOut(declared=declared, match_id=match_frame,
                           inliers=res.best_inliers,
                           similarity=res.similarities[0])

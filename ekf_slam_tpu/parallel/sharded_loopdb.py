@@ -111,6 +111,11 @@ def query(db: lc.LoopDatabase, descr: jnp.ndarray, kp: Keypoints,
     ndev = mesh.shape[axis]
     n_loc = cap // ndev
     k = cfg.top_k
+    # A shard can contribute at most its n_loc slots to the global top-k,
+    # so gathering min(k, n_loc) per shard is still exact.
+    k_loc = min(k, n_loc)
+    if ndev * k_loc < k:
+        raise ValueError(f"top_k {k} exceeds capacity {cap}")
 
     @jax.shard_map(
         mesh=mesh,
@@ -122,13 +127,13 @@ def query(db: lc.LoopDatabase, descr: jnp.ndarray, kp: Keypoints,
         age = count - 1 - fid_s
         valid = (fid_s >= 0) & (age >= cfg.exclude_recent)
         sims = jnp.where(valid, descr_s @ q, -jnp.inf)      # local matmul
-        top_sims, top_loc = jax.lax.top_k(sims, k)          # local top-k
+        top_sims, top_loc = jax.lax.top_k(sims, k_loc)      # local top-k
         slots = top_loc + jax.lax.axis_index(axis) * n_loc
         pack = (top_sims, slots, fid_s[top_loc], kp_yx_s[top_loc],
                 kp_descr_s[top_loc], pose_s[top_loc])
-        g = jax.lax.all_gather(pack, axis)          # (ndev, k, ...) each
+        g = jax.lax.all_gather(pack, axis)        # (ndev, k_loc, ...) each
         return jax.tree.map(
-            lambda a: a.reshape((ndev * k,) + a.shape[2:]), g)
+            lambda a: a.reshape((ndev * k_loc,) + a.shape[2:]), g)
 
     sims_all, slots_all, fids_all, kp_yx_all, kp_descr_all, pose_all = \
         retrieve(db.descr, db.kp_yx, db.kp_descr, db.pose, db.frame_id,

@@ -167,3 +167,55 @@ def test_sharded_loopdb_equals_single_device():
     np.testing.assert_allclose(
         np.asarray(sdb.best_pose(db8, r8.best_slot, mesh)),
         np.asarray(db1.pose[int(r1.best_slot)]), rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_loop_runner_sharded_db_equals_unsharded():
+    """make_frame_fn(mesh=...) — the online loop pipeline on a capacity-
+    sharded DB — produces the same fused state and diagnostics as the
+    single-device ring."""
+    from ekf_slam_tpu.models import loop_runner, loopclosure as lc, train
+    from ekf_slam_tpu.models.vss import VSSConfig
+    from ekf_slam_tpu.models import keypoints as kp_mod
+    from ekf_slam_tpu.parallel import sharded_loopdb as sdb
+
+    model = train.create_model(VSSConfig(width=8))
+    tcfg = train.TrainConfig(batch_size=2, image_hw=(32, 32))
+    st = train.init_state(model, tcfg, jax.random.key(0))
+    variables = {"params": st.params, "batch_stats": st.batch_stats}
+    lcfg = lc.LoopConfig(capacity=16, top_k=3, exclude_recent=1, min_db=1,
+                         sim_threshold=0.0, ransac_hypotheses=8,
+                         min_inliers=1, consistency_count=2)
+    imgs = jax.random.uniform(jax.random.key(1), (4, 32, 32, 3))
+    x0 = jnp.zeros(13).at[3].set(1.0)
+    P0 = jnp.eye(13) * 0.01
+
+    outs = model.apply(variables, imgs[:1], train=False,
+                       rngs={"reparam": jax.random.key(2)},
+                       descriptor_only=True)
+    kps = kp_mod.kp_descriptor(outs["c5"])
+    dd, nk, dk = (outs["descriptor"].shape[1], kps.yx.shape[1],
+                  kps.descr.shape[2])
+
+    mesh = make_mesh()
+    f1 = loop_runner.make_frame_fn(model, variables, lcfg)
+    f8 = loop_runner.make_frame_fn(model, variables, lcfg, mesh=mesh)
+    db1 = lc.init_db(lcfg, dd, nk, dk)
+    db8 = sdb.shard_db(lc.init_db(lcfg, dd, nk, dk), mesh)
+    x1, P1, x8, P8 = x0, P0, x0, P0
+    for t in range(4):
+        k = jax.random.key(10 + t)
+        db1, x1, P1, o1 = f1(db1, x1, P1, imgs[t], k)
+        db8, x8, P8, o8 = f8(db8, x8, P8, imgs[t], k)
+        # allclose treats NaN==NaN as equal — a NaN'd filter state must
+        # fail loudly, not match its equally-NaN'd twin.
+        assert bool(jnp.isfinite(x1).all() & jnp.isfinite(P1).all()), t
+        assert bool(jnp.isfinite(x8).all() & jnp.isfinite(P8).all()), t
+        assert bool(o1.declared) == bool(o8.declared), t
+        assert int(o1.match_id) == int(o8.match_id), t
+        np.testing.assert_allclose(np.asarray(o1.similarity),
+                                   np.asarray(o8.similarity), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x8), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(P1), np.asarray(P8), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(db1.frame_id),
+                                  np.asarray(db8.frame_id))
