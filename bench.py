@@ -15,6 +15,7 @@ publishes no numbers, SURVEY.md §6).
 
 import json
 import os
+import sys
 import time
 
 # Fast-mode default precision must be set BEFORE ekf.py is imported (it
@@ -55,6 +56,7 @@ def main_pixels():
                       max_new_per_step=10, max_update_obs=64),
         vision=VisionConfig(
             matcher=os.environ.get("BENCH_MATCHER", "ncc"),
+            search_radius=int(os.environ.get("BENCH_R", "12")),
             warp_distortion=os.environ.get("BENCH_WARPDIST", "affine")),
         sim=SimConfig(num_landmarks=128),
         dtype="float32")
@@ -75,24 +77,45 @@ def main_pixels():
                 s, a = carry
                 img, kk = inp
                 s, a, info = frontend.step_image(s, a, img, kk, cfg)
-                return (s, a), s.x[:13]
-            (s, a), traj = jax.lax.scan(
+                return (s, a), (s.x[:13], info.search_r_needed)
+            (s, a), (traj, r_need) = jax.lax.scan(
                 body, (st, app), (imgs, jax.random.split(k, FRAMES)))
-            return s, traj
-        return jax.vmap(one)(states, apps, ks)
+            return s, traj, jnp.max(r_need)
+        s, traj, r_need = jax.vmap(one)(states, apps, ks)
+        return s, traj, jnp.max(r_need)
 
     keys = jax.random.split(jax.random.key(1), b)
-    final, traj = run(st_b, app_b, keys)
+    final, traj, r_need = run(st_b, app_b, keys)
     jax.block_until_ready(traj)
     t0 = time.perf_counter()
     n_rep = 3
     for i in range(n_rep):
-        final, traj = run(st_b, app_b,
-                          jax.random.split(jax.random.key(2 + i), b))
+        final, traj, r_need = run(st_b, app_b,
+                                  jax.random.split(jax.random.key(2 + i), b))
     jax.block_until_ready((final, traj))   # tunnel flake guard, see main()
     dt = time.perf_counter() - t0
-    assert bool(jnp.all(jnp.isfinite(traj))), "non-finite trajectories"
-    assert bool(jnp.all(jnp.isfinite(final.P))), "non-finite covariance"
+    if not os.environ.get("EKF_ABLATE"):
+        assert bool(jnp.all(jnp.isfinite(traj))), "non-finite trajectories"
+        assert bool(jnp.all(jnp.isfinite(final.P))), "non-finite covariance"
+        # Same honesty gate as main(): the image path must TRACK — this is
+        # what catches a matcher-quality regression (e.g. a sampling form
+        # whose TPU matmuls silently drop to bf16) that stays finite.
+        err = float(jnp.mean(jnp.linalg.norm(
+            traj[..., 0:3] - xs[None, :, 0:3], axis=-1)))
+        print(f"pixels tracking err: {err:.4f}", file=sys.stderr)
+        assert err < 0.5, f"trajectory error {err:.3f} — not tracking"
+        # Honesty gate for sizing the static search window (same protocol
+        # as BENCH_M): when BENCH_R is explicitly set, the run is refused
+        # if the χ² gate could ever reach beyond the window — within it,
+        # the windowed argmax is bit-exact to an unbounded search.
+        rn = float(r_need)
+        print(f"pixels search radius needed: {rn:.2f} "
+              f"(window {cfg.vision.search_radius})", file=sys.stderr)
+        if os.environ.get("BENCH_R"):
+            assert rn <= cfg.vision.search_radius, (
+                f"χ² reach {rn:.2f} exceeds BENCH_R="
+                f"{cfg.vision.search_radius} — the window truncates the "
+                f"gate; raise BENCH_R")
     steps_per_sec = b * FRAMES * n_rep / dt
     print(json.dumps({
         "metric": "image_path_slam_steps_per_sec_per_chip_cap100",

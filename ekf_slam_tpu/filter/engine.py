@@ -48,6 +48,11 @@ class StepInfo:
     n_li: jnp.ndarray
     n_hi: jnp.ndarray
     ransac_support: jnp.ndarray
+    # Image path only (vision/frontend.step_image): the exact χ²-reach of
+    # the matcher's search this frame (max sqrt(chi2·λmax(S)) over visible
+    # slots) — the in-run honesty gate for sizing the static search
+    # radius; 0.0 on the sim path.
+    search_r_needed: jnp.ndarray = 0.0
 
 
 def gather_measurements(state: FilterState, obs: FrameObs):

@@ -106,13 +106,22 @@ def measure(state: FilterState, app: Appearance, img: jnp.ndarray,
     """Predict + match from a freshly-computed prior (standalone use; the
     per-frame pipeline uses measure_at_prior so ekf.predict runs ONCE)."""
     x_prior, P_prior = ekf.predict(state.x, state.P, cfg.filter)
-    return measure_at_prior(state, app, img, x_prior, P_prior, cfg)
+    return measure_at_prior(state, app, img, x_prior, P_prior, cfg)[:4]
 
 
 def measure_at_prior(state: FilterState, app: Appearance, img: jnp.ndarray,
                      x_prior: jnp.ndarray, P_prior: jnp.ndarray,
                      cfg: EngineConfig):
-    """Appearance matching at a given prior -> (z, z_valid, h, visible).
+    """Appearance matching at a given prior ->
+    (z, z_valid, h, visible, r_needed).
+
+    `r_needed` () is the exact search radius the χ² gate can reach this
+    frame: max over MATCHABLE slots of sqrt(chi2 · λmax(S)) — the gated
+    argmax in the (2R+1)² window is BIT-EXACT to an unbounded search iff
+    search_radius ≥ r_needed (offsets beyond the ellipse are masked to
+    -inf). The static radius is sized to the measured workload max the
+    same way the compact update's M is (docs/BENCH.md), with this value
+    surfaced through StepInfo as the in-run honesty gate.
 
     Matcher selected by cfg.vision.matcher:
     * "ncc"        — plane-homography-warped template + NCC scan over the
@@ -129,16 +138,28 @@ def measure_at_prior(state: FilterState, app: Appearance, img: jnp.ndarray,
     H_xv, H_y = measurement.jacobians(x_prior, h, hc, state.cartesian,
                                       cfg.camera)
     S = measurement.innovation_covariances(P_prior, H_xv, H_y, f.sigma_z)
+    # The reference gates matching itself on eig(S) < 100 (matching.m:16)
+    # — a wildly-uncertain (fresh inverse-depth) feature is not searched
+    # at all. Downstream association.individually_compatible re-applies
+    # the same gate, so pre-gating here is behavior-neutral; it also
+    # bounds the χ²-reach diagnostic to sqrt(chi2 · max_eig) so the
+    # static window can be sized against the MATCHABLE workload.
+    tr = S[..., 0, 0] + S[..., 1, 1]                     # closed-form λmax
+    det = S[..., 0, 0] * S[..., 1, 1] - S[..., 0, 1] * S[..., 1, 0]
+    lmax = tr / 2 + jnp.sqrt(jnp.maximum(tr * tr / 4 - det, 0.0))
+    matchable = visible & (lmax < cfg.matching.max_innovation_eig)
+    r_needed = jnp.max(jnp.where(
+        matchable, jnp.sqrt(cfg.matching.chi2_inv_2_95 * lmax), 0.0))
     # Attribution knobs (EKF_ABLATE, non-benchmark runs only): "match"
     # skips the whole appearance matcher (warp + scoring), "ncc" keeps
     # the template warp but skips the correlation scan — the difference
     # isolates the NCC scoring cost ON the real bench (chained
     # micro-timings mislead through the tunnel, docs/BENCH.md).
     if "match" in engine._ABLATE and cfg.vision.matcher != "descriptor":
-        return h, visible, h, visible
+        return h, visible, h, visible, r_needed
     if cfg.vision.matcher == "descriptor":
         z, score, found = match_all_descriptor(
-            img, app.descr, h, S, visible, cfg)
+            img, app.descr, h, S, matchable, cfg)
     else:
         p_w = landmark_world_points(state)
         templates = patch_warp.predict_appearance(
@@ -147,12 +168,12 @@ def measure_at_prior(state: FilterState, app: Appearance, img: jnp.ndarray,
             distortion=cfg.vision.warp_distortion)
         if "ncc" in engine._ABLATE:
             return jnp.sum(templates, (-2, -1))[:, None] * 0 + h, \
-                visible, h, visible
+                visible, h, visible, r_needed
         z, score, found = ncc.match_all(
-            img, templates, h, S, visible,
+            img, templates, h, S, matchable,
             cfg.matching.chi2_inv_2_95, cfg.vision.search_radius,
             cfg.vision.min_ncc)
-    return z, found, h, visible
+    return z, found, h, visible, r_needed
 
 
 def match_all_descriptor(img: jnp.ndarray, descr_init: jnp.ndarray,
@@ -274,10 +295,11 @@ def step_image(state: FilterState, app: Appearance, img: jnp.ndarray,
     feature initialization from the current frame."""
     state = mapman.manage(state, cfg)                      # stage 1
     x_prior, P_prior = ekf.predict(state.x, state.P, cfg.filter)  # stage 2
-    z, z_valid, h_pred, pred_vis = measure_at_prior(
+    z, z_valid, h_pred, pred_vis, r_needed = measure_at_prior(
         state, app, img, x_prior, P_prior, cfg)            # stage 3 matching
     state, visible, ic, info = engine.step_core_from_prior(
         state, x_prior, P_prior, z, z_valid, key, cfg)     # stages 3-7
+    info = info.replace(search_r_needed=r_needed)
     # Feature initialization from the current image when starved.
     need = jnp.sum(ic) < cfg.map.min_features_in_image
     uv, cand = select_new_feature_pixels(img, h_pred, pred_vis, cfg)

@@ -42,7 +42,11 @@ _INV3 = os.environ.get("EKF_WARP_INV", "closed")
 # "dot" = one-hot interpolation-weight matrices contracted on the MXU —
 # out[k] = Wy[k,:] @ patch @ Wx[k,:]ᵀ with Wy/Wx built by iota-compare
 # (2 nonzeros per row), no gather at all. Same 4-term bilinear algebra.
-_SAMPLE = os.environ.get("EKF_WARP_SAMPLE", "gather")
+# DEFAULT "dot": measured 2410.8 vs 773.2 steps/s on the pixels bench
+# (3.1x — the batched-operand gathers were the warp's real cost), with
+# identical tracking error (0.0922 vs 0.0934) — the MXU contraction's
+# TPU-default-bf16 passes do not degrade matching (docs/BENCH.md r2l).
+_SAMPLE = os.environ.get("EKF_WARP_SAMPLE", "dot")
 
 
 def inv3(M: jnp.ndarray) -> jnp.ndarray:
