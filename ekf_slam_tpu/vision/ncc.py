@@ -36,14 +36,18 @@ from ekf_slam_tpu.filter.association import mahalanobis2
 _FORM = os.environ.get("EKF_NCC", "conv")
 
 # Grouped-conv matmul precision. Grayscale NCC in [-1, 1] against a 0.8
-# acceptance threshold does not need 6-pass f32 emulation: "high"
-# (3-pass bf16 emulation, ~f32-grade for these magnitudes) measured +9%
-# on the pixels bench and is the default; "default" (one bf16 pass,
-# ~1e-3 score noise) is the A/B edge.
+# acceptance threshold does not need 6-pass f32 emulation. The winning
+# setting moved with the operating point: when the warp dominated the
+# step, "high" (3-pass bf16 emulation) measured +9% over "default";
+# after the r2l warp chain made the NCC 61% of the step, "default"
+# (one bf16 pass, ~1e-3 score noise) measures 2,585.9 vs 2,355.6
+# (+9.8%) with tracking err 0.0986 vs 0.0922 — both deep inside the
+# bench gate, so the 1-pass form is the fast-mode default; set
+# EKF_NCC_PREC=high for the tighter scores.
 _PREC = {"highest": jax.lax.Precision.HIGHEST,
          "high": jax.lax.Precision.HIGH,
          "default": jax.lax.Precision.DEFAULT}[
-    os.environ.get("EKF_NCC_PREC", "high")]
+    os.environ.get("EKF_NCC_PREC", "default")]
 
 
 def extract_patch(img: jnp.ndarray, center_uv: jnp.ndarray,
