@@ -67,6 +67,51 @@ def describe_presmoothed(sm: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(bits, 1.0, -1.0).astype(sm.dtype)
 
 
+def _sel_diff():
+    """(PATCH², N_BITS) constant: column `bit` has +1 at pattern point A's
+    flat patch index and -1 at B's (0 where they coincide), so
+    patch_flat @ _SEL_DIFF reproduces sm[a] − sm[b] for every bit at
+    once. Host-side NumPy constant (no import-time device work)."""
+    import numpy as np
+    r = PATCH // 2
+    sel = np.zeros((PATCH * PATCH, N_BITS), np.float32)
+    pa = (_PAT_A[:, 0] + r) * PATCH + (_PAT_A[:, 1] + r)
+    pb = (_PAT_B[:, 0] + r) * PATCH + (_PAT_B[:, 1] + r)
+    sel[pa, np.arange(N_BITS)] += 1.0
+    sel[pb, np.arange(N_BITS)] -= 1.0
+    return sel
+
+
+_SEL_DIFF = _sel_diff()
+
+
+def describe_many(sm: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
+    """describe_presmoothed, restructured for LARGE keypoint batches (the
+    per-slot-per-candidate matcher: CAP × corners_per_window points).
+
+    The direct form's sm[ya, xa] is a 2-D-index gather of K·2·N_BITS
+    scalars — under the B × CAP × candidates vmap it lowers to monster
+    index plumbing (the same batched-operand-gather disease the patch
+    warp had, docs/BENCH.md r2l). Here each keypoint cuts ONE (15, 15)
+    patch (contiguous dynamic_slice) and all 256 comparisons become a
+    single constant-selector matmul: bits = patch @ (1ₐ − 1ᵦ) > 0,
+    algebraically identical (sm[a] > sm[b] ⇔ sm[a] − sm[b] > 0);
+    HIGHEST precision keeps the difference f32-exact on TPU. Pinned
+    bit-identical to describe_presmoothed in tests/test_vision.py."""
+    H, W = sm.shape
+    r = PATCH // 2
+    y0 = jnp.clip(yx[:, 0], r, H - 1 - r) - r
+    x0 = jnp.clip(yx[:, 1], r, W - 1 - r) - r
+
+    def cut(yy, xx):
+        return jax.lax.dynamic_slice(sm, (yy, xx), (PATCH, PATCH))
+
+    patches = jax.vmap(cut)(y0, x0).reshape(yx.shape[0], -1)
+    diff = jnp.dot(patches, jnp.asarray(_SEL_DIFF, sm.dtype),
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.where(diff > 0, 1.0, -1.0).astype(sm.dtype)
+
+
 def hamming_distance(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
     """(K1, N)±1 x (K2, N)±1 -> (K1, K2) Hamming distances via one matmul."""
     return 0.5 * (d1.shape[-1] - d1 @ d2.T)

@@ -197,7 +197,7 @@ def match_all_descriptor(img: jnp.ndarray, descr_init: jnp.ndarray,
     sm = descriptor._smooth3(img)            # smooth once per frame
     W2 = 2 * R + 1
 
-    def one(d0, h, Si):
+    def cands(h, Si):
         win, u0, v0 = ncc.extract_patch_anchored(score, h, R)
         vals, idx = jax.lax.top_k(win.reshape(-1), C)
         wy, wx = idx // W2, idx % W2
@@ -205,16 +205,26 @@ def match_all_descriptor(img: jnp.ndarray, descr_init: jnp.ndarray,
         cv = (v0 + wy).astype(img.dtype)
         nu = jnp.stack([cu - h[0], cv - h[1]], axis=-1)      # (C, 2)
         gate = (vals > 0.0) & (mahalanobis2(nu, Si) < chi2)
-        d = descriptor.describe_presmoothed(
-            sm, jnp.stack([v0 + wy, u0 + wx], axis=-1))      # (C, N_BITS)
-        dist = 0.5 * (d.shape[-1] - d @ d0)                  # Hamming
-        dist = jnp.where(gate, dist, jnp.inf)
+        return cu, cv, gate, v0 + wy, u0 + wx
+
+    cu, cv, gate, yy, xx = jax.vmap(cands)(h_pred, S)   # (CAP, C) each
+    # ONE flat describe over all CAP·C candidates (patch-slice + selector
+    # matmul) instead of per-slot 2-D-index gathers under the vmap — see
+    # descriptor.describe_many.
+    cap = h_pred.shape[0]
+    d = descriptor.describe_many(
+        sm, jnp.stack([yy, xx], axis=-1).reshape(cap * C, 2)
+    ).reshape(cap, C, -1)                                # (CAP, C, N_BITS)
+
+    def pick(d0, dc, gate_i, cu_i, cv_i):
+        dist = 0.5 * (dc.shape[-1] - dc @ d0)                # Hamming
+        dist = jnp.where(gate_i, dist, jnp.inf)
         best = jnp.argmin(dist)
         found = jnp.isfinite(dist[best]) & (dist[best] <= v.max_hamming)
-        z = jnp.stack([cu[best], cv[best]])
+        z = jnp.stack([cu_i[best], cv_i[best]])
         return z, jnp.where(jnp.isfinite(dist[best]), dist[best], 1e9), found
 
-    z, dist, found = jax.vmap(one)(descr_init, h_pred, S)
+    z, dist, found = jax.vmap(pick)(descr_init, d, gate, cu, cv)
     return z, dist, found & visible
 
 

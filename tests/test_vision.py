@@ -339,3 +339,19 @@ def test_warp_bilinear_dot_matches_gather():
     finally:
         pw._SAMPLE = old
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_describe_many_matches_direct_form():
+    """describe_many (patch-slice + selector matmul) is BIT-identical to
+    describe_presmoothed (2-D-index gathers) — including centers clipped
+    at the image border and coincident A/B pattern points."""
+    import numpy as np
+    from ekf_slam_tpu.vision import descriptor as ds
+    rng = np.random.default_rng(7)
+    sm = jnp.asarray(rng.uniform(0, 1, (64, 80)).astype(np.float32))
+    yx = jnp.asarray(np.stack([rng.integers(0, 64, 50),
+                               rng.integers(0, 80, 50)], -1)
+                     .astype(np.int32))
+    a = np.asarray(ds.describe_presmoothed(sm, yx))
+    b = np.asarray(ds.describe_many(sm, yx))
+    np.testing.assert_array_equal(a, b)
