@@ -158,6 +158,8 @@ def measure_at_prior(state: FilterState, app: Appearance, img: jnp.ndarray,
     if "match" in engine._ABLATE and cfg.vision.matcher != "descriptor":
         return h, visible, h, visible, r_needed
     if cfg.vision.matcher == "descriptor":
+        if "dmatch" in engine._ABLATE:
+            return h, visible, h, visible, r_needed
         z, score, found = match_all_descriptor(
             img, app.descr, h, S, matchable, cfg)
     else:
@@ -192,8 +194,15 @@ def match_all_descriptor(img: jnp.ndarray, descr_init: jnp.ndarray,
     R = v.search_radius
     C = v.corners_per_window
     chi2 = cfg.matching.chi2_inv_2_95
-    score = fast.non_max_suppress(
-        fast.fast_score(img, v.fast_threshold, v.fast_arc))
+    # Attribution knobs (EKF_ABLATE, non-benchmark runs only): "fast"
+    # replaces the corner response with the raw image (isolates the FAST
+    # score + NMS cost), "describe" skips the descriptor computation
+    # (isolates describe_many + the Hamming pick).
+    if "fast" in engine._ABLATE:
+        score = img
+    else:
+        score = fast.non_max_suppress(
+            fast.fast_score(img, v.fast_threshold, v.fast_arc))
     sm = descriptor._smooth3(img)            # smooth once per frame
     W2 = 2 * R + 1
 
@@ -212,9 +221,12 @@ def match_all_descriptor(img: jnp.ndarray, descr_init: jnp.ndarray,
     # matmul) instead of per-slot 2-D-index gathers under the vmap — see
     # descriptor.describe_many.
     cap = h_pred.shape[0]
-    d = descriptor.describe_many(
-        sm, jnp.stack([yy, xx], axis=-1).reshape(cap * C, 2)
-    ).reshape(cap, C, -1)                                # (CAP, C, N_BITS)
+    if "describe" in engine._ABLATE:
+        d = jnp.ones((cap, C, descriptor.N_BITS), img.dtype)
+    else:
+        d = descriptor.describe_many(
+            sm, jnp.stack([yy, xx], axis=-1).reshape(cap * C, 2)
+        ).reshape(cap, C, -1)                            # (CAP, C, N_BITS)
 
     def pick(d0, dc, gate_i, cu_i, cv_i):
         dist = 0.5 * (dc.shape[-1] - dc @ d0)                # Hamming
