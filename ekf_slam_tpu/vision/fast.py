@@ -14,7 +14,17 @@ batches over leading axes.
 
 from __future__ import annotations
 
+import os as _os
+
 import jax.numpy as jnp
+
+# Arc-test lowering form (EKF_FASTARC): "runlen" = int32 log-doubling run
+# length over the doubled 32-row sequence (the original form, current
+# default); "and" = AND-doubling over the boolean (16, H, W) taps
+# (strictly fewer/narrower passes; default flips only after the TPU
+# bench decides — docs/BENCH.md methodology). Bit-equivalent; pinned in
+# tests/test_vision.py.
+_ARC_FORM = _os.environ.get("EKF_FASTARC", "runlen")
 
 # 16-point Bresenham circle of radius 3, clockwise (standard FAST layout).
 CIRCLE = jnp.array([
@@ -45,6 +55,32 @@ def _max_contiguous_run(mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.minimum(jnp.max(run[:16], axis=0), 16)
 
 
+def _has_circular_run(mask: jnp.ndarray, arc: int) -> jnp.ndarray:
+    """(16, ...) bool -> (...) bool: does any CIRCULAR contiguous run of
+    True along axis 0 reach `arc`?
+
+    AND-doubling form: p_L[i] = AND of mask[i..i+L-1] (circular) built for
+    power-of-two L, then composed per the binary decomposition of `arc`
+    (r_{A+L}[i] = r_A[i] & p_L[(i+A) mod 16]). Boolean rolls of the (16,…)
+    axis only — no doubled 32-row int32 sequence, no integer compares —
+    exactly equivalent to thresholding _max_contiguous_run at `arc` (pinned
+    in tests/test_vision.py)."""
+    arc = min(int(arc), 16)
+    powers = {1: mask}
+    L = 1
+    while L * 2 <= arc:
+        powers[L * 2] = powers[L] & jnp.roll(powers[L], -L, axis=0)
+        L *= 2
+    r = None
+    acc = 0
+    for bit in sorted(powers, reverse=True):
+        if acc + bit <= arc:
+            p = powers[bit]
+            r = p if r is None else r & jnp.roll(p, -acc, axis=0)
+            acc += bit
+    return jnp.any(r, axis=0)
+
+
 def fast_score(img: jnp.ndarray, threshold: float = 0.08,
                arc: int = 9) -> jnp.ndarray:
     """Corner response map (…, H, W) -> (…, H, W) float score.
@@ -57,9 +93,12 @@ def fast_score(img: jnp.ndarray, threshold: float = 0.08,
     diff = taps - img[None]
     bright = diff > threshold
     dark = diff < -threshold
-    run_b = _max_contiguous_run(bright)
-    run_d = _max_contiguous_run(dark)
-    is_corner = (run_b >= arc) | (run_d >= arc)
+    if _ARC_FORM == "runlen":
+        is_corner = (_max_contiguous_run(bright) >= arc) | \
+                    (_max_contiguous_run(dark) >= arc)
+    else:
+        is_corner = _has_circular_run(bright, arc) | \
+                    _has_circular_run(dark, arc)
     # Response: mean absolute contrast of the qualifying taps (a smooth
     # stand-in for the OpenCV score; ordering is what matters downstream).
     margin = jnp.mean(

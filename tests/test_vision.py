@@ -355,3 +355,35 @@ def test_describe_many_matches_direct_form():
     a = np.asarray(ds.describe_presmoothed(sm, yx))
     b = np.asarray(ds.describe_many(sm, yx))
     np.testing.assert_array_equal(a, b)
+
+
+def test_fast_arc_forms_equivalent():
+    """The AND-doubling arc test (EKF_FASTARC=and) is bit-equivalent to
+    thresholding the run-length form at `arc`, for every arc 1..16, on a
+    random mask batch including all-True / all-False columns."""
+    import numpy as np
+    from ekf_slam_tpu.vision import fast
+    rng = np.random.default_rng(3)
+    mask = jnp.asarray(rng.uniform(size=(16, 64)) < 0.6)
+    mask = mask.at[:, 0].set(True).at[:, 1].set(False)
+    for arc in range(1, 17):
+        a = np.asarray(fast._max_contiguous_run(mask) >= arc)
+        b = np.asarray(fast._has_circular_run(mask, arc))
+        np.testing.assert_array_equal(a, b, err_msg=f"arc={arc}")
+
+
+def test_fast_score_form_knob():
+    """fast_score produces identical maps under both arc-test forms."""
+    import numpy as np
+    from ekf_slam_tpu.vision import fast
+    rng = np.random.default_rng(4)
+    img = jnp.asarray(rng.uniform(0, 1, (48, 64)).astype(np.float32))
+    old = fast._ARC_FORM
+    try:
+        fast._ARC_FORM = "runlen"
+        a = np.asarray(fast.fast_score(img, 0.08, 9))
+        fast._ARC_FORM = "and"
+        b = np.asarray(fast.fast_score(img, 0.08, 9))
+    finally:
+        fast._ARC_FORM = old
+    np.testing.assert_array_equal(a, b)
