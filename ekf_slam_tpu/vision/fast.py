@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import os as _os
 
+import jax
 import jax.numpy as jnp
 
 # Arc-test lowering form (EKF_FASTARC): "runlen" = int32 log-doubling run
@@ -25,6 +26,8 @@ import jax.numpy as jnp
 # bench decides — docs/BENCH.md methodology). Bit-equivalent; pinned in
 # tests/test_vision.py.
 _ARC_FORM = _os.environ.get("EKF_FASTARC", "runlen")
+# Tap-extraction form, same bench-first policy (see _taps).
+_TAPS_FORM = _os.environ.get("EKF_FASTTAPS", "roll")
 
 # 16-point Bresenham circle of radius 3, clockwise (standard FAST layout).
 CIRCLE = jnp.array([
@@ -33,8 +36,22 @@ CIRCLE = jnp.array([
 
 
 def _taps(img: jnp.ndarray) -> jnp.ndarray:
-    """(16, H, W) circle intensities via static rolls (zero-ish borders are
-    handled by the caller's border margin)."""
+    """(16, …, H, W) circle intensities.
+
+    Form knob (EKF_FASTTAPS): "roll" = 16 wrapped rolls (2 concats per
+    axis each); "pad" = one zero-pad then 16 STATIC slices (no wraparound
+    concats — the 3-px border is zeroed by fast_score either way, so the
+    forms agree on the interior and the score maps are identical; pinned
+    in tests/test_vision.py)."""
+    if _TAPS_FORM == "pad":
+        H, W = img.shape[-2:]
+        pad = [(0, 0)] * (img.ndim - 2) + [(3, 3), (3, 3)]
+        ip = jnp.pad(img, pad)
+        return jnp.stack(
+            [jax.lax.slice_in_dim(
+                jax.lax.slice_in_dim(ip, 3 + int(dy), 3 + int(dy) + H, axis=-2),
+                3 + int(dx), 3 + int(dx) + W, axis=-1)
+             for dy, dx in CIRCLE.tolist()], axis=0)
     return jnp.stack(
         [jnp.roll(img, (-int(dy), -int(dx)), axis=(-2, -1))
          for dy, dx in CIRCLE.tolist()], axis=0)

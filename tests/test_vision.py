@@ -387,3 +387,22 @@ def test_fast_score_form_knob():
     finally:
         fast._ARC_FORM = old
     np.testing.assert_array_equal(a, b)
+
+
+def test_fast_taps_form_knob():
+    """fast_score is identical under roll vs pad+static-slice taps (the
+    3-px border is zeroed either way, and interior taps read the same
+    in-bounds pixels)."""
+    import numpy as np
+    from ekf_slam_tpu.vision import fast
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.uniform(0, 1, (2, 48, 64)).astype(np.float32))
+    old = fast._TAPS_FORM
+    try:
+        fast._TAPS_FORM = "roll"
+        a = np.asarray(fast.fast_score(img, 0.08, 9))
+        fast._TAPS_FORM = "pad"
+        b = np.asarray(fast.fast_score(img, 0.08, 9))
+    finally:
+        fast._TAPS_FORM = old
+    np.testing.assert_array_equal(a, b)
