@@ -11,11 +11,20 @@ ONE matmul on the MXU (Hamming distance ≡ (N − dot)/2 for ±1 vectors).
 
 from __future__ import annotations
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 
 N_BITS = 256
 PATCH = 15          # descriptor support (odd)
+
+# describe_many lowering form (EKF_DESCRIBE): "slice" = per-keypoint
+# (15,15) dynamic_slice then reshape (current default); "flat" = one
+# flat-index gather with minor dim 225 (no padded (K,16,128)
+# intermediate). Bit-equivalent (pinned); default flips only after the
+# TPU bench decides.
+_MANY_FORM = _os.environ.get("EKF_DESCRIBE", "slice")
 
 
 def _pattern(key=None):
@@ -85,6 +94,29 @@ def _sel_diff():
 _SEL_DIFF = _sel_diff()
 
 
+def _describe_many_flat(sm: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
+    """describe_many via ONE flat-index gather with minor dim 225.
+
+    The slice form's vmapped dynamic_slice materializes (K, 15, 15)
+    patches — TPU pads the two minor dims to (8, 128) tiles, a 7.6x HBM
+    blowup (docs/BENCH.md: the padded-bytes disease), plus a relayout on
+    the reshape to (K, 225). Here the patch grid becomes 225 STATIC flat
+    offsets into sm.reshape(-1), so the gather lands as (K, 225) directly
+    (minor dim padded only 225→256) and feeds the selector matmul with no
+    intermediate. Same clipping, bit-identical (pinned)."""
+    H, W = sm.shape
+    r = PATCH // 2
+    y0 = jnp.clip(yx[:, 0], r, H - 1 - r) - r
+    x0 = jnp.clip(yx[:, 1], r, W - 1 - r) - r
+    import numpy as np
+    offs = (np.arange(PATCH)[:, None] * W + np.arange(PATCH)[None, :])
+    idx = (y0 * W + x0)[:, None] + jnp.asarray(offs.reshape(-1), y0.dtype)
+    patches = sm.reshape(-1)[idx]                       # (K, 225)
+    diff = jnp.dot(patches, jnp.asarray(_SEL_DIFF, sm.dtype),
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.where(diff > 0, 1.0, -1.0).astype(sm.dtype)
+
+
 def describe_many(sm: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
     """describe_presmoothed, restructured for LARGE keypoint batches (the
     per-slot-per-candidate matcher: CAP × corners_per_window points).
@@ -98,6 +130,8 @@ def describe_many(sm: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
     algebraically identical (sm[a] > sm[b] ⇔ sm[a] − sm[b] > 0);
     HIGHEST precision keeps the difference f32-exact on TPU. Pinned
     bit-identical to describe_presmoothed in tests/test_vision.py."""
+    if _MANY_FORM == "flat":
+        return _describe_many_flat(sm, yx)
     H, W = sm.shape
     r = PATCH // 2
     y0 = jnp.clip(yx[:, 0], r, H - 1 - r) - r

@@ -406,3 +406,19 @@ def test_fast_taps_form_knob():
     finally:
         fast._TAPS_FORM = old
     np.testing.assert_array_equal(a, b)
+
+
+def test_describe_many_flat_form_equivalent():
+    """The flat-index gather form of describe_many is bit-identical to the
+    slice form (and hence to describe_presmoothed), including clipped
+    border centers."""
+    import numpy as np
+    from ekf_slam_tpu.vision import descriptor as ds
+    rng = np.random.default_rng(9)
+    sm = jnp.asarray(rng.uniform(0, 1, (64, 80)).astype(np.float32))
+    yx = jnp.asarray(np.stack([rng.integers(0, 64, 50),
+                               rng.integers(0, 80, 50)], -1)
+                     .astype(np.int32))
+    a = np.asarray(ds.describe_presmoothed(sm, yx))
+    b = np.asarray(ds._describe_many_flat(sm, yx))
+    np.testing.assert_array_equal(a, b)
