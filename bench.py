@@ -57,6 +57,7 @@ def main_pixels():
         vision=VisionConfig(
             matcher=os.environ.get("BENCH_MATCHER", "ncc"),
             search_radius=int(os.environ.get("BENCH_R", "12")),
+            corners_per_window=int(os.environ.get("BENCH_C", "8")),
             warp_distortion=os.environ.get("BENCH_WARPDIST", "affine")),
         sim=SimConfig(num_landmarks=128),
         dtype="float32")
