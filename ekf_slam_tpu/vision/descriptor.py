@@ -19,11 +19,13 @@ import jax.numpy as jnp
 N_BITS = 256
 PATCH = 15          # descriptor support (odd)
 
-# describe_many lowering form (EKF_DESCRIBE): "slice" = per-keypoint
-# (15,15) dynamic_slice then reshape (current default); "flat" = one
-# flat-index gather with minor dim 225 (no padded (K,16,128)
-# intermediate). Bit-equivalent (pinned); default flips only after the
-# TPU bench decides.
+# Candidate-describe lowering form (EKF_DESCRIBE): "slice" =
+# per-keypoint (15,15) dynamic_slice then reshape (current default);
+# "flat" = one flat-index gather with minor dim 225 (measured SLOWER —
+# the cost is access count, not padded bytes); "onehot" = per-slot
+# region cut + exact one-hot MXU extraction (describe_windows, no
+# per-candidate gather). Bit-equivalent (pinned); default flips only
+# after the TPU bench decides.
 _MANY_FORM = _os.environ.get("EKF_DESCRIBE", "slice")
 
 
@@ -115,6 +117,67 @@ def _describe_many_flat(sm: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
     diff = jnp.dot(patches, jnp.asarray(_SEL_DIFF, sm.dtype),
                    precision=jax.lax.Precision.HIGHEST)
     return jnp.where(diff > 0, 1.0, -1.0).astype(sm.dtype)
+
+
+def describe_windows(sm: jnp.ndarray, h_pred: jnp.ndarray,
+                     wy: jnp.ndarray, wx: jnp.ndarray,
+                     search_radius: int) -> jnp.ndarray:
+    """Describe all S×C window candidates with NO per-candidate gather.
+
+    The slice form's 25k vmapped (15,15) dynamic_slices are latency-bound
+    random reads (the flat-gather form measured even slower — the cost is
+    access count, not padded bytes). Candidates are grouped: all C of a
+    slot lie in its (2R+1)² search window, so cut ONE
+    (2R+15)² region per SLOT (S dense slices instead of S·C·15 strided
+    row reads) and extract each (15,15) patch from its region with two
+    EXACT one-hot contractions on the MXU — the same gather→matmul
+    conversion that won the patch warp 3x (docs/BENCH.md r2l). One-hot
+    rows select exactly one region value per output (all other products
+    are 0·x), so the result is bit-identical to describe_presmoothed
+    (pinned in tests/test_vision.py).
+
+    Args: h_pred (S, 2) predicted (u, v) window centers — the SAME values
+    the candidate search anchored on; wy/wx (S, C) candidate offsets
+    inside the (2R+1)² window. Returns (S, C, N_BITS) ±1.
+    """
+    from ekf_slam_tpu.vision import ncc
+    H, W = sm.shape
+    r = PATCH // 2
+    R = search_radius
+    RG = 2 * (R + r) + 1
+
+    def cut(h):
+        return ncc.extract_patch_anchored(sm, h, R + r)
+    regions, ru0, rv0 = jax.vmap(cut)(h_pred)            # (S, RG, RG)
+
+    # Window anchor (same clipped round as the candidate search used).
+    u0 = jnp.clip(jnp.round(h_pred[:, 0]).astype(jnp.int32) - R, 0,
+                  W - (2 * R + 1))
+    v0 = jnp.clip(jnp.round(h_pred[:, 1]).astype(jnp.int32) - R, 0,
+                  H - (2 * R + 1))
+    # Patch starts, global (describe_presmoothed's center clip), then
+    # relative to the region anchor — always within [0, RG-PATCH].
+    cy = jnp.clip(v0[:, None] + wy, r, H - 1 - r) - r
+    cx = jnp.clip(u0[:, None] + wx, r, W - 1 - r) - r
+    oy = cy - rv0[:, None]                               # (S, C)
+    ox = cx - ru0[:, None]
+
+    grid = jnp.arange(RG)
+    prange = jnp.arange(PATCH)
+    # (S, C, PATCH, RG) one-hots: row p of candidate (s,c) selects region
+    # row oy+p (resp. column ox+q). f32 0/1 entries keep the dots exact.
+    OY = (oy[..., None, None] + prange[None, None, :, None]
+          == grid).astype(sm.dtype)
+    OX = (ox[..., None, None] + prange[None, None, :, None]
+          == grid).astype(sm.dtype)
+    hi = jax.lax.Precision.HIGHEST
+    rows = jnp.einsum("scpY,sYX->scpX", OY, regions, precision=hi)
+    patch = jnp.einsum("scpX,scqX->scpq", rows, OX, precision=hi)
+    S_, C_ = wy.shape
+    diff = jnp.dot(patch.reshape(S_ * C_, PATCH * PATCH),
+                   jnp.asarray(_SEL_DIFF, sm.dtype), precision=hi)
+    return jnp.where(diff > 0, 1.0, -1.0).astype(sm.dtype) \
+        .reshape(S_, C_, N_BITS)
 
 
 def describe_many(sm: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:

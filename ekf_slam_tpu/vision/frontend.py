@@ -214,16 +214,20 @@ def match_all_descriptor(img: jnp.ndarray, descr_init: jnp.ndarray,
         cv = (v0 + wy).astype(img.dtype)
         nu = jnp.stack([cu - h[0], cv - h[1]], axis=-1)      # (C, 2)
         gate = (vals > 0.0) & (mahalanobis2(nu, Si) < chi2)
-        return cu, cv, gate, v0 + wy, u0 + wx
+        return cu, cv, gate, v0 + wy, u0 + wx, wy, wx
 
-    cu, cv, gate, yy, xx = jax.vmap(cands)(h_pred, S)   # (CAP, C) each
-    # ONE flat describe over all CAP·C candidates (patch-slice + selector
-    # matmul) instead of per-slot 2-D-index gathers under the vmap — see
-    # descriptor.describe_many.
+    cu, cv, gate, yy, xx, wy, wx = jax.vmap(cands)(h_pred, S)  # (CAP, C)
     cap = h_pred.shape[0]
     if "describe" in engine._ABLATE:
         d = jnp.ones((cap, C, descriptor.N_BITS), img.dtype)
+    elif descriptor._MANY_FORM == "onehot":
+        # Per-SLOT region cut + exact one-hot patch extraction on the
+        # MXU, no per-candidate gather — descriptor.describe_windows.
+        d = descriptor.describe_windows(sm, h_pred, wy, wx, R)
     else:
+        # ONE flat describe over all CAP·C candidates (patch-slice +
+        # selector matmul) instead of per-slot 2-D-index gathers under
+        # the vmap — see descriptor.describe_many.
         d = descriptor.describe_many(
             sm, jnp.stack([yy, xx], axis=-1).reshape(cap * C, 2)
         ).reshape(cap, C, -1)                            # (CAP, C, N_BITS)

@@ -422,3 +422,33 @@ def test_describe_many_flat_form_equivalent():
     a = np.asarray(ds.describe_presmoothed(sm, yx))
     b = np.asarray(ds._describe_many_flat(sm, yx))
     np.testing.assert_array_equal(a, b)
+
+
+def test_describe_windows_matches_direct_form():
+    """describe_windows (per-slot region + one-hot MXU extraction) is
+    bit-identical to describe_presmoothed at the equivalent absolute
+    candidate positions — including window anchors clipped at every
+    border and candidates at window corners."""
+    import numpy as np
+    from ekf_slam_tpu.vision import descriptor as ds
+    rng = np.random.default_rng(11)
+    H, W, R, C = 64, 80, 12, 6
+    sm = jnp.asarray(rng.uniform(0, 1, (H, W)).astype(np.float32))
+    # Centers including all four borders/corners.
+    h = np.stack([rng.uniform(-5, W + 5, 40), rng.uniform(-5, H + 5, 40)],
+                 -1).astype(np.float32)
+    h[:8] = [[0, 0], [W - 1, H - 1], [0, H - 1], [W - 1, 0],
+             [W / 2, 0], [0, H / 2], [W / 2, H - 1], [W - 1, H / 2]]
+    wy = rng.integers(0, 2 * R + 1, (40, C)).astype(np.int32)
+    wx = rng.integers(0, 2 * R + 1, (40, C)).astype(np.int32)
+    wy[:, 0] = 0; wx[:, 0] = 0; wy[:, 1] = 2 * R; wx[:, 1] = 2 * R
+    got = np.asarray(ds.describe_windows(
+        sm, jnp.asarray(h), jnp.asarray(wy), jnp.asarray(wx), R))
+    # Reference: absolute positions through describe_presmoothed.
+    u0 = np.clip(np.round(h[:, 0]).astype(np.int32) - R, 0, W - (2 * R + 1))
+    v0 = np.clip(np.round(h[:, 1]).astype(np.int32) - R, 0, H - (2 * R + 1))
+    yy = (v0[:, None] + wy).reshape(-1)
+    xx = (u0[:, None] + wx).reshape(-1)
+    want = np.asarray(ds.describe_presmoothed(
+        sm, jnp.asarray(np.stack([yy, xx], -1)))).reshape(40, C, -1)
+    np.testing.assert_array_equal(got, want)
