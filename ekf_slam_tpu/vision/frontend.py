@@ -207,8 +207,20 @@ def match_all_descriptor(img: jnp.ndarray, descr_init: jnp.ndarray,
     W2 = 2 * R + 1
 
     def cands(h, Si):
-        win, u0, v0 = ncc.extract_patch_anchored(score, h, R)
-        vals, idx = jax.lax.top_k(win.reshape(-1), C)
+        # Attribution knobs (EKF_ABLATE): "winext" pins the window slice
+        # to a constant offset (isolates the per-slot dynamic extraction);
+        # "topk" replaces the top-k with the first C entries (isolates
+        # lax.top_k). Non-benchmark runs only.
+        if "winext" in engine._ABLATE:
+            win = jax.lax.dynamic_slice(score, (0, 0), (W2, W2))
+            u0 = v0 = jnp.int32(0)
+        else:
+            win, u0, v0 = ncc.extract_patch_anchored(score, h, R)
+        if "topk" in engine._ABLATE:
+            vals = win.reshape(-1)[:C]
+            idx = jnp.arange(C)
+        else:
+            vals, idx = jax.lax.top_k(win.reshape(-1), C)
         wy, wx = idx // W2, idx % W2
         cu = (u0 + wx).astype(img.dtype)     # candidate pixel coords
         cv = (v0 + wy).astype(img.dtype)
