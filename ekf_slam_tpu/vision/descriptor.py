@@ -19,14 +19,15 @@ import jax.numpy as jnp
 N_BITS = 256
 PATCH = 15          # descriptor support (odd)
 
-# Candidate-describe lowering form (EKF_DESCRIBE): "slice" =
-# per-keypoint (15,15) dynamic_slice then reshape (current default);
-# "flat" = one flat-index gather with minor dim 225 (measured SLOWER —
-# the cost is access count, not padded bytes); "onehot" = per-slot
+# Candidate-describe lowering form (EKF_DESCRIBE): "onehot" = per-slot
 # region cut + exact one-hot MXU extraction (describe_windows, no
-# per-candidate gather). Bit-equivalent (pinned); default flips only
-# after the TPU bench decides.
-_MANY_FORM = _os.environ.get("EKF_DESCRIBE", "slice")
+# per-candidate gather) — measured 2,028.9 steps/s vs "slice"'s 805.2
+# (2.5x, identical trajectory; docs/BENCH.md r2m): 25k random reads
+# (slice) / flat-index gathers ("flat", 606.1 — cost is access count,
+# not padded bytes) lose to S dense region cuts + MXU selection, the
+# same gather→matmul conversion that won the patch warp 3x. All forms
+# bit-equivalent (pinned in tests/test_vision.py).
+_MANY_FORM = _os.environ.get("EKF_DESCRIBE", "onehot")
 
 
 def _pattern(key=None):
