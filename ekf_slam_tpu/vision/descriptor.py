@@ -145,7 +145,6 @@ def describe_windows(sm: jnp.ndarray, h_pred: jnp.ndarray,
     H, W = sm.shape
     r = PATCH // 2
     R = search_radius
-    RG = 2 * (R + r) + 1
 
     def cut(h):
         return ncc.extract_patch_anchored(sm, h, R + r)
@@ -156,6 +155,24 @@ def describe_windows(sm: jnp.ndarray, h_pred: jnp.ndarray,
                   W - (2 * R + 1))
     v0 = jnp.clip(jnp.round(h_pred[:, 1]).astype(jnp.int32) - R, 0,
                   H - (2 * R + 1))
+    return describe_regions(regions, ru0, rv0, u0, v0, wy, wx, H, W)
+
+
+def describe_regions(regions: jnp.ndarray, ru0: jnp.ndarray,
+                     rv0: jnp.ndarray, u0: jnp.ndarray, v0: jnp.ndarray,
+                     wy: jnp.ndarray, wx: jnp.ndarray,
+                     H: int, W: int) -> jnp.ndarray:
+    """One-hot MXU patch extraction given pre-cut per-slot regions.
+
+    regions (S, RG, RG) anchored at (ru0, rv0) in image coordinates —
+    anchors may be NEGATIVE when the region came from a zero-padded
+    shared plane (frontend EKF_MATCHWIN=shared): candidate patch centers
+    are clipped inside the true image below, so padding values are never
+    selected and the result stays bit-identical to describe_presmoothed.
+    (u0, v0) (S,) are the search-window anchors the candidate offsets
+    wy/wx (S, C) are relative to. Returns (S, C, N_BITS) ±1."""
+    r = PATCH // 2
+    RG = regions.shape[-1]
     # Patch starts, global (describe_presmoothed's center clip), then
     # relative to the region anchor — always within [0, RG-PATCH].
     cy = jnp.clip(v0[:, None] + wy, r, H - 1 - r) - r
@@ -168,16 +185,16 @@ def describe_windows(sm: jnp.ndarray, h_pred: jnp.ndarray,
     # (S, C, PATCH, RG) one-hots: row p of candidate (s,c) selects region
     # row oy+p (resp. column ox+q). f32 0/1 entries keep the dots exact.
     OY = (oy[..., None, None] + prange[None, None, :, None]
-          == grid).astype(sm.dtype)
+          == grid).astype(regions.dtype)
     OX = (ox[..., None, None] + prange[None, None, :, None]
-          == grid).astype(sm.dtype)
+          == grid).astype(regions.dtype)
     hi = jax.lax.Precision.HIGHEST
     rows = jnp.einsum("scpY,sYX->scpX", OY, regions, precision=hi)
     patch = jnp.einsum("scpX,scqX->scpq", rows, OX, precision=hi)
     S_, C_ = wy.shape
     diff = jnp.dot(patch.reshape(S_ * C_, PATCH * PATCH),
-                   jnp.asarray(_SEL_DIFF, sm.dtype), precision=hi)
-    return jnp.where(diff > 0, 1.0, -1.0).astype(sm.dtype) \
+                   jnp.asarray(_SEL_DIFF, regions.dtype), precision=hi)
+    return jnp.where(diff > 0, 1.0, -1.0).astype(regions.dtype) \
         .reshape(S_, C_, N_BITS)
 
 

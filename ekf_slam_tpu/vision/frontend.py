@@ -39,6 +39,17 @@ INIT_PATCH_HALF = 20   # 41x41 init patch (initialize_a_feature.m:4)
 MATCH_PATCH_HALF = 6   # 13x13 matching patch (initialize_a_feature.m:5)
 BORDER = 21            # image border exclusion (initialize_a_feature.m:22)
 
+# Descriptor-matcher window-extraction form (EKF_MATCHWIN): "split" =
+# per-slot (2R+1)² score-window slice + separate (2R+15)² smooth-region
+# slice inside describe_windows (two dynamic extractions per slot);
+# "shared" = ONE (2, 2R+15, 2R+15) slice per slot from a zero-padded
+# stacked [score; smooth] plane — the score window is its static
+# interior, the describe region rides along free. Output-pinned
+# bit-identical (tests/test_vision.py); default flips only after the
+# TPU bench decides.
+import os as _os
+_WIN_FORM = _os.environ.get("EKF_MATCHWIN", "split")
+
 
 @flax.struct.dataclass
 class Appearance:
@@ -205,6 +216,59 @@ def match_all_descriptor(img: jnp.ndarray, descr_init: jnp.ndarray,
             fast.fast_score(img, v.fast_threshold, v.fast_arc))
     sm = descriptor._smooth3(img)            # smooth once per frame
     W2 = 2 * R + 1
+    H, W = img.shape
+
+    def pick(d0, dc, gate_i, cu_i, cv_i):
+        dist = 0.5 * (dc.shape[-1] - dc @ d0)                # Hamming
+        dist = jnp.where(gate_i, dist, jnp.inf)
+        best = jnp.argmin(dist)
+        found = jnp.isfinite(dist[best]) & (dist[best] <= v.max_hamming)
+        z = jnp.stack([cu_i[best], cv_i[best]])
+        return z, jnp.where(jnp.isfinite(dist[best]), dist[best], 1e9), found
+
+    shared = (_WIN_FORM == "shared"
+              and descriptor._MANY_FORM == "onehot"
+              and not ({"winext", "topk"} & engine._ABLATE))
+    if shared:
+        # ONE per-slot dynamic extraction instead of two: cut a
+        # (2, RG, RG) block from the zero-padded stacked [score; smooth]
+        # plane at the window anchor. In padded coordinates the score
+        # window is ALWAYS the static interior [r:r+W2, r:r+W2] of the
+        # block (the pad absorbs the border clamp), and the smooth
+        # region hands straight to descriptor.describe_regions with
+        # anchor (u0-r, v0-r) — candidate patches are clipped inside
+        # the true image, so pad zeros are never selected and the
+        # output is bit-identical to the split form (pinned).
+        r = descriptor.PATCH // 2
+        RG = W2 + 2 * r
+        plane = jnp.zeros((2, H + 2 * r, W + 2 * r), img.dtype)
+        plane = plane.at[:, r:H + r, r:W + r].set(jnp.stack([score, sm]))
+
+        def cands_shared(h, Si):
+            u0 = jnp.clip(jnp.round(h[0]).astype(jnp.int32) - R, 0, W - W2)
+            v0 = jnp.clip(jnp.round(h[1]).astype(jnp.int32) - R, 0, H - W2)
+            reg = jax.lax.dynamic_slice(plane, (jnp.int32(0), v0, u0),
+                                        (2, RG, RG))
+            win = reg[0, r:r + W2, r:r + W2]
+            vals, idx = jax.lax.top_k(win.reshape(-1), C)
+            wy_, wx_ = idx // W2, idx % W2
+            cu = (u0 + wx_).astype(img.dtype)
+            cv = (v0 + wy_).astype(img.dtype)
+            nu = jnp.stack([cu - h[0], cv - h[1]], axis=-1)     # (C, 2)
+            gate_ = (vals > 0.0) & (mahalanobis2(nu, Si) < chi2)
+            return cu, cv, gate_, wy_, wx_, reg[1], u0, v0
+
+        cu, cv, gate, wy, wx, regions, u0s, v0s = \
+            jax.vmap(cands_shared)(h_pred, S)
+        cap = h_pred.shape[0]
+        if "describe" in engine._ABLATE:
+            d = jnp.ones((cap, C, descriptor.N_BITS), img.dtype)
+        else:
+            d = descriptor.describe_regions(
+                regions, u0s - r, v0s - r, u0s, v0s, wy, wx, H, W)
+
+        z, dist, found = jax.vmap(pick)(descr_init, d, gate, cu, cv)
+        return z, dist, found & visible
 
     def cands(h, Si):
         # Attribution knobs (EKF_ABLATE): "winext" pins the window slice
@@ -243,14 +307,6 @@ def match_all_descriptor(img: jnp.ndarray, descr_init: jnp.ndarray,
         d = descriptor.describe_many(
             sm, jnp.stack([yy, xx], axis=-1).reshape(cap * C, 2)
         ).reshape(cap, C, -1)                            # (CAP, C, N_BITS)
-
-    def pick(d0, dc, gate_i, cu_i, cv_i):
-        dist = 0.5 * (dc.shape[-1] - dc @ d0)                # Hamming
-        dist = jnp.where(gate_i, dist, jnp.inf)
-        best = jnp.argmin(dist)
-        found = jnp.isfinite(dist[best]) & (dist[best] <= v.max_hamming)
-        z = jnp.stack([cu_i[best], cv_i[best]])
-        return z, jnp.where(jnp.isfinite(dist[best]), dist[best], 1e9), found
 
     z, dist, found = jax.vmap(pick)(descr_init, d, gate, cu, cv)
     return z, dist, found & visible

@@ -452,3 +452,41 @@ def test_describe_windows_matches_direct_form():
     want = np.asarray(ds.describe_presmoothed(
         sm, jnp.asarray(np.stack([yy, xx], -1)))).reshape(40, C, -1)
     np.testing.assert_array_equal(got, want)
+
+
+def test_match_descriptor_shared_window_form_equivalent():
+    """EKF_MATCHWIN=shared (one padded stacked (2,RG,RG) cut per slot
+    serving both the score window and the describe region) returns
+    bit-identical (z, dist, found) to the split form — including window
+    anchors clamped at every border, where the shared form's pad zeros
+    absorb the clamp."""
+    import numpy as np
+    from ekf_slam_tpu.config import EngineConfig, MapConfig
+    from ekf_slam_tpu.vision import descriptor as ds
+    from ekf_slam_tpu.vision import frontend as fe
+    rng = np.random.default_rng(23)
+    H, W, cap = 96, 128, 24
+    cfg = EngineConfig(map=MapConfig(capacity=cap), dtype="float32")
+    img = jnp.asarray(rng.uniform(0, 1, (H, W)).astype(np.float32))
+    d0 = jnp.asarray(np.where(rng.uniform(size=(cap, ds.N_BITS)) > 0.5,
+                              1.0, -1.0).astype(np.float32))
+    h = np.stack([rng.uniform(-5, W + 5, cap),
+                  rng.uniform(-5, H + 5, cap)], -1).astype(np.float32)
+    h[:4] = [[0, 0], [W - 1, H - 1], [0, H - 1], [W - 1, 0]]
+    S = jnp.asarray(np.broadcast_to(np.eye(2, dtype=np.float32) * 40.0,
+                                    (cap, 2, 2))).copy()
+    vis = jnp.asarray(rng.uniform(size=cap) > 0.2)
+    old_w, old_m = fe._WIN_FORM, ds._MANY_FORM
+    try:
+        ds._MANY_FORM = "onehot"
+        fe._WIN_FORM = "split"
+        za, da, fa = fe.match_all_descriptor(img, d0, jnp.asarray(h), S,
+                                             vis, cfg)
+        fe._WIN_FORM = "shared"
+        zb, db, fb = fe.match_all_descriptor(img, d0, jnp.asarray(h), S,
+                                             vis, cfg)
+    finally:
+        fe._WIN_FORM, ds._MANY_FORM = old_w, old_m
+    np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+    np.testing.assert_array_equal(np.asarray(za), np.asarray(zb))
+    np.testing.assert_array_equal(np.asarray(da), np.asarray(db))
