@@ -29,6 +29,14 @@ PATCH = 15          # descriptor support (odd)
 # bit-equivalent (pinned in tests/test_vision.py).
 _MANY_FORM = _os.environ.get("EKF_DESCRIBE", "onehot")
 
+# Patch-from-region extraction form inside describe_regions
+# (EKF_REGEXTRACT): "onehot" = two exact one-hot MXU contractions
+# (default); "flat" = one single-axis take_along_axis from the compact
+# (S, RG²) region stack — unlike the full-image flat gather (which
+# lost), the operand here is ~600 KB, not the whole frame. Both
+# bit-identical (same pinned tests cover describe_windows).
+_REG_FORM = _os.environ.get("EKF_REGEXTRACT", "onehot")
+
 
 def _pattern(key=None):
     """Fixed comparison pattern: N_BITS pairs of offsets in the patch,
@@ -173,25 +181,39 @@ def describe_regions(regions: jnp.ndarray, ru0: jnp.ndarray,
     wy/wx (S, C) are relative to. Returns (S, C, N_BITS) ±1."""
     r = PATCH // 2
     RG = regions.shape[-1]
+    S_, C_ = wy.shape
     # Patch starts, global (describe_presmoothed's center clip), then
     # relative to the region anchor — always within [0, RG-PATCH].
     cy = jnp.clip(v0[:, None] + wy, r, H - 1 - r) - r
     cx = jnp.clip(u0[:, None] + wx, r, W - 1 - r) - r
     oy = cy - rv0[:, None]                               # (S, C)
     ox = cx - ru0[:, None]
-
-    grid = jnp.arange(RG)
-    prange = jnp.arange(PATCH)
-    # (S, C, PATCH, RG) one-hots: row p of candidate (s,c) selects region
-    # row oy+p (resp. column ox+q). f32 0/1 entries keep the dots exact.
-    OY = (oy[..., None, None] + prange[None, None, :, None]
-          == grid).astype(regions.dtype)
-    OX = (ox[..., None, None] + prange[None, None, :, None]
-          == grid).astype(regions.dtype)
     hi = jax.lax.Precision.HIGHEST
-    rows = jnp.einsum("scpY,sYX->scpX", OY, regions, precision=hi)
-    patch = jnp.einsum("scpX,scqX->scpq", rows, OX, precision=hi)
-    S_, C_ = wy.shape
+
+    if _REG_FORM == "flat":
+        # Flat single-axis gather from the per-slot region — the operand
+        # is the compact (S, RG²) region stack, NOT the full image (the
+        # full-image flat gather lost at 606.1: 25k scattered HBM rows).
+        # 225 static offsets from each candidate's flat start.
+        import numpy as np
+        offs = (np.arange(PATCH)[:, None] * RG
+                + np.arange(PATCH)[None, :]).reshape(-1)
+        idx = (oy * RG + ox)[..., None] + jnp.asarray(offs, oy.dtype)
+        patch = jnp.take_along_axis(
+            regions.reshape(S_, RG * RG),
+            idx.reshape(S_, C_ * PATCH * PATCH), axis=1)
+    else:
+        grid = jnp.arange(RG)
+        prange = jnp.arange(PATCH)
+        # (S, C, PATCH, RG) one-hots: row p of candidate (s,c) selects
+        # region row oy+p (resp. column ox+q). f32 0/1 entries keep the
+        # dots exact.
+        OY = (oy[..., None, None] + prange[None, None, :, None]
+              == grid).astype(regions.dtype)
+        OX = (ox[..., None, None] + prange[None, None, :, None]
+              == grid).astype(regions.dtype)
+        rows = jnp.einsum("scpY,sYX->scpX", OY, regions, precision=hi)
+        patch = jnp.einsum("scpX,scqX->scpq", rows, OX, precision=hi)
     diff = jnp.dot(patch.reshape(S_ * C_, PATCH * PATCH),
                    jnp.asarray(_SEL_DIFF, regions.dtype), precision=hi)
     return jnp.where(diff > 0, 1.0, -1.0).astype(regions.dtype) \

@@ -490,3 +490,28 @@ def test_match_descriptor_shared_window_form_equivalent():
     np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
     np.testing.assert_array_equal(np.asarray(za), np.asarray(zb))
     np.testing.assert_array_equal(np.asarray(da), np.asarray(db))
+
+
+def test_describe_regions_flat_form_equivalent():
+    """EKF_REGEXTRACT=flat (take_along_axis from the compact per-slot
+    region stack) is bit-identical to the one-hot MXU contraction form,
+    including border-clipped candidates."""
+    from ekf_slam_tpu.vision import descriptor as ds
+    rng = np.random.default_rng(31)
+    H, W, R, C = 64, 80, 12, 8
+    sm = jnp.asarray(rng.uniform(0, 1, (H, W)).astype(np.float32))
+    h = np.stack([rng.uniform(-5, W + 5, 30),
+                  rng.uniform(-5, H + 5, 30)], -1).astype(np.float32)
+    h[:4] = [[0, 0], [W - 1, H - 1], [0, H - 1], [W - 1, 0]]
+    wy = rng.integers(0, 2 * R + 1, (30, C)).astype(np.int32)
+    wx = rng.integers(0, 2 * R + 1, (30, C)).astype(np.int32)
+    args = (sm, jnp.asarray(h), jnp.asarray(wy), jnp.asarray(wx), R)
+    old = ds._REG_FORM
+    try:
+        ds._REG_FORM = "onehot"
+        a = np.asarray(ds.describe_windows(*args))
+        ds._REG_FORM = "flat"
+        b = np.asarray(ds.describe_windows(*args))
+    finally:
+        ds._REG_FORM = old
+    np.testing.assert_array_equal(a, b)
