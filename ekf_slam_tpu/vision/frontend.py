@@ -39,16 +39,15 @@ INIT_PATCH_HALF = 20   # 41x41 init patch (initialize_a_feature.m:4)
 MATCH_PATCH_HALF = 6   # 13x13 matching patch (initialize_a_feature.m:5)
 BORDER = 21            # image border exclusion (initialize_a_feature.m:22)
 
-# Descriptor-matcher window-extraction form (EKF_MATCHWIN): "split" =
-# per-slot (2R+1)² score-window slice + separate (2R+15)² smooth-region
-# slice inside describe_windows (two dynamic extractions per slot);
-# "shared" = ONE (2, 2R+15, 2R+15) slice per slot from a zero-padded
-# stacked [score; smooth] plane — the score window is its static
-# interior, the describe region rides along free. Output-pinned
-# bit-identical (tests/test_vision.py); default flips only after the
-# TPU bench decides.
+# Descriptor-matcher window-extraction form (EKF_MATCHWIN): "shared" =
+# ONE (2, 2R+15, 2R+15) slice per slot from a zero-padded stacked
+# [score; smooth] plane — the score window is its static interior, the
+# describe region rides along free. Measured 2,324.6 steps/s vs the
+# "split" form's 2,028.9 (two dynamic extractions per slot), identical
+# trajectory (docs/BENCH.md r2m). Output-pinned bit-identical
+# (tests/test_vision.py).
 import os as _os
-_WIN_FORM = _os.environ.get("EKF_MATCHWIN", "split")
+_WIN_FORM = _os.environ.get("EKF_MATCHWIN", "shared")
 
 
 @flax.struct.dataclass
