@@ -244,8 +244,16 @@ def match_all_descriptor(img: jnp.ndarray, descr_init: jnp.ndarray,
         plane = plane.at[:, r:H + r, r:W + r].set(jnp.stack([score, sm]))
 
         def cands_shared(h, Si):
-            u0 = jnp.clip(jnp.round(h[0]).astype(jnp.int32) - R, 0, W - W2)
-            v0 = jnp.clip(jnp.round(h[1]).astype(jnp.int32) - R, 0, H - W2)
+            # Attribution knob (EKF_ABLATE): "sharedext" pins the block
+            # cut to a constant offset (XLA folds it), isolating the
+            # per-slot dynamic extraction cost. Non-benchmark runs only.
+            if "sharedext" in engine._ABLATE:
+                u0 = v0 = jnp.int32(0)
+            else:
+                u0 = jnp.clip(jnp.round(h[0]).astype(jnp.int32) - R,
+                              0, W - W2)
+                v0 = jnp.clip(jnp.round(h[1]).astype(jnp.int32) - R,
+                              0, H - W2)
             reg = jax.lax.dynamic_slice(plane, (jnp.int32(0), v0, u0),
                                         (2, RG, RG))
             win = reg[0, r:r + W2, r:r + W2]
