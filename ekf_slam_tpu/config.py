@@ -195,12 +195,15 @@ class VisionConfig:
     fast_threshold: float = 0.08   # contrast threshold on [0,1] images
     fast_arc: int = 9              # FAST-9 contiguous arc
     exclusion_radius: float = 10.0  # min distance to tracked features (px)
-    # Runtime matcher: "ncc" = warped-template NCC scan (the crosscorr.m
-    # legacy path, BASELINE.json configs[3]); "descriptor" = FAST corners in
-    # the gated window + binary-descriptor Hamming match against the init
-    # descriptor — the reference's PRIMARY path (matching.m:29-47,
-    # FAST+FREAK).
-    matcher: str = "ncc"
+    # Runtime matcher: "descriptor" = FAST corners in the gated window +
+    # binary-descriptor Hamming match against the init descriptor — the
+    # reference's PRIMARY path (matching.m:29-47, FAST+FREAK) and the
+    # default here to match it (also the more accurate mode: tracking
+    # err 0.0639 vs 0.092 on the bench workload, docs/BENCH.md r2m);
+    # "ncc" = warped-template NCC scan (the crosscorr.m legacy path,
+    # BASELINE.json configs[3]) — the pixels bench keeps BENCH_MATCHER=ncc
+    # as its explicit default for cross-round continuity.
+    matcher: str = "descriptor"
     corners_per_window: int = 8    # FAST candidates kept per search window
     max_hamming: float = 64.0      # descriptor acceptance (of N_BITS=256)
     # Template-warp distortion handling (rotate_with_dist_fc_c1c2.m:12-17):
