@@ -52,6 +52,59 @@ _COV_PRECISION = os.environ.get("EKF_COV_PRECISION", "float32")
 # 26/613 rows (optimized-HLO finding, docs/BENCH.md round 2).
 _STRIPES = os.environ.get("EKF_STRIPES", "pred")
 
+# Trace-time override of the stripe form (parallel/sharded_filter.py
+# traces its tensor-parallel step with "predT": the "pred" form's second
+# DUS writes rows 13:D of a row-SHARDED P — a partial-shard update GSPMD
+# implements as a full-P all-gather + per-shard reslice; "predT" writes
+# the (D, 13) column stripe at offset (0,0) instead, which covers the
+# whole sharded dim and partitions trivially). Bit-identical outputs.
+_STRIPES_OVERRIDE = [None]
+
+
+class stripes_override:
+    """Context manager: pin the predict stripe form while TRACING a
+    program (the form is a trace-time choice; nesting restores)."""
+
+    def __init__(self, form):
+        self.form = form
+
+    def __enter__(self):
+        self.prev = _STRIPES_OVERRIDE[0]
+        _STRIPES_OVERRIDE[0] = self.form
+
+    def __exit__(self, *exc):
+        _STRIPES_OVERRIDE[0] = self.prev
+
+
+# Trace-time covariance sharding annotation (parallel/sharded_filter.py):
+# a function applied to every freshly materialized full P. Without it,
+# GSPMD's propagation pass sees predict's many small row-slice consumers
+# (S assembly reads P[:13], P[3:7], per-slot stripes) and votes the
+# post-predict P REPLICATED — a full-P all-gather per frame. Pinning the
+# producer keeps P row-sharded end to end; the small row reads then pay
+# O(13*D) transfers instead. No-op when unset (single-device paths).
+_P_ANNOTATE = [None]
+
+
+def annotate_p(P: jnp.ndarray) -> jnp.ndarray:
+    f = _P_ANNOTATE[0]
+    return f(P) if f is not None else P
+
+
+class p_annotate:
+    """Context manager installing the covariance sharding annotation
+    while tracing a program."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __enter__(self):
+        self.prev = _P_ANNOTATE[0]
+        _P_ANNOTATE[0] = self.fn
+
+    def __exit__(self, *exc):
+        _P_ANNOTATE[0] = self.prev
+
 # Compact-update P·Hᵀ form: "rows" computes (Hc P)ᵀ from a 13-cam-row +
 # M-slot-stripe row gather of the SYMMETRIC P, "dense" does the full
 # P @ Hcᵀ dot. "dense" measured faster on v5e (same finding as above);
@@ -169,17 +222,49 @@ def predict(x: jnp.ndarray, P: jnp.ndarray, cfg: FilterConfig):
     top = F @ p_compute(P[:CAM_DIM, :])            # (13, D): 13-row read
     top = jnp.concatenate(
         [top[:, :CAM_DIM] @ F.T + Q, top[:, CAM_DIM:]], axis=1)
-    if _STRIPES not in ("pred", "mgmt", "all"):
+    stripes = _STRIPES_OVERRIDE[0] or _STRIPES
+    if stripes == "predsel":
+        # Fully elementwise stripe write (the tensor-parallel form,
+        # parallel/sharded_filter.py): mask-select the 13 camera rows and
+        # columns from a zero-padded `top` instead of dynamic-update-
+        # slicing them in. A sub-shard DUS on an UNEVENLY tiled sharded
+        # dim (D odd over k shards) falls back to a full-P all-gather in
+        # GSPMD; where-selects partition trivially. Values BIT-identical
+        # to "pred" (exact selection; tests/test_layout_forms.py).
+        # Costs two full-P elementwise passes — TP-only, not the
+        # single-device default.
+        sdt = P.dtype
+        D = P.shape[0]
+        cm = jnp.arange(D) < CAM_DIM
+        topT_full = jnp.pad(top.T.astype(sdt), ((0, 0), (0, D - CAM_DIM)))
+        top_full = jnp.pad(top.astype(sdt), ((0, D - CAM_DIM), (0, 0)))
+        P_pred = jnp.where(cm[None, :], topT_full, P)
+        P_pred = jnp.where(cm[:, None], top_full, P_pred)
+        return x_pred, annotate_p(P_pred)
+    if stripes == "predT":
+        # Same two stripes, written column-stripe-first and both at
+        # offset (0, 0): the (D, 13) column write spans the FULL row dim
+        # (partitionable when P's rows are sharded over a mesh — see
+        # _STRIPES_OVERRIDE) and the (13, D) row write then overwrites
+        # the 13x13 corner with the same values the "pred" form puts
+        # there. Final P is BIT-identical to "pred"
+        # (tests/test_layout_forms.py pins it).
+        sdt = P.dtype
+        P_pred = jax.lax.dynamic_update_slice(P, top.T.astype(sdt), (0, 0))
+        P_pred = jax.lax.dynamic_update_slice(
+            P_pred, top.astype(sdt), (0, 0))
+        return x_pred, annotate_p(P_pred)
+    if stripes not in ("pred", "mgmt", "all"):
         Pf = p_compute(P)
         bottom = jnp.concatenate(
             [top[:, CAM_DIM:].T, Pf[CAM_DIM:, CAM_DIM:]], axis=1)
-        return x_pred, p_store(
-            jnp.concatenate([top, bottom], axis=0), P)
+        return x_pred, annotate_p(p_store(
+            jnp.concatenate([top, bottom], axis=0), P))
     sdt = P.dtype
     P_pred = jax.lax.dynamic_update_slice(P, top.astype(sdt), (0, 0))
     P_pred = jax.lax.dynamic_update_slice(
         P_pred, top[:, CAM_DIM:].T.astype(sdt), (CAM_DIM, 0))
-    return x_pred, P_pred
+    return x_pred, annotate_p(P_pred)
 
 
 @f32_matmuls

@@ -36,6 +36,33 @@ from ekf_slam_tpu.filter.state import FilterState
 from ekf_slam_tpu.ops import camera as cam_ops
 from ekf_slam_tpu.ops import quaternion as quat
 
+import os
+
+# Conversion slot-row extraction form (A/B knob): "slotdot" contracts the
+# slot axis of the (CAP, 6, D) map-row view against the conversion's
+# one-hot — measured-best single-device form; "rowsel" contracts P's ROW
+# axis against the (6, D) one-hot row selector, which under a row-SHARDED
+# P (parallel/sharded_filter.py) reduces to a psum of a (6, D) partial
+# instead of a cross-mesh gather of the whole (6·CAP, D) map block.
+# Exact one-hot selections either way — bit-identical outputs.
+_MGROWS = os.environ.get("EKF_MGROWS", "slotdot")
+_MGROWS_OVERRIDE = [None]
+
+
+class mgrows_override:
+    """Context manager pinning the conversion row-extraction form while
+    tracing a program."""
+
+    def __init__(self, form):
+        self.form = form
+
+    def __enter__(self):
+        self.prev = _MGROWS_OVERRIDE[0]
+        _MGROWS_OVERRIDE[0] = self.form
+
+    def __exit__(self, *exc):
+        _MGROWS_OVERRIDE[0] = self.prev
+
 
 class AddParams(NamedTuple):
     """Batched feature-add P growth in closed low-rank form:
@@ -510,20 +537,28 @@ def _convert_params(state: FilterState, cfg: EngineConfig,
     # precision is pinned so the MXU pass cannot round P's values to
     # bf16 outside an f32_matmuls scope (the recurring covariance trap).
     off = CAM_DIM + 6 * slot
-    # ks column-scales the gathered rows (fused delete); the chosen slot's
-    # own row scale is 1 because `eligible` requires an active (kept) slot.
-    Pmap = ekf.p_compute(state.P[CAM_DIM:CAM_DIM + 6 * cap, :]
-                         ).reshape(cap, 6, D)
-    slot_rows = (jnp.einsum("c,cjd->jd", onehot, Pmap,
-                            precision=jax.lax.Precision.HIGHEST
-                            ).astype(dtype) * ks[None, :])     # (6, D)
-    new_rows3 = J @ slot_rows                               # (3, D)
-    new_rows = jnp.concatenate(
-        [new_rows3, jnp.zeros((3, D), dtype)], axis=0)      # (6, D)
-
     # one-hot row selector of the slot's 6 dims (zero rows when do=False)
     row_flat = jnp.where(do, CAM_DIM + 6 * slot + jnp.arange(6), D)  # (6,)
     E6 = jax.nn.one_hot(row_flat, D, dtype=dtype)           # (6, D)
+    # ks column-scales the gathered rows (fused delete); the chosen slot's
+    # own row scale is 1 because `eligible` requires an active (kept) slot.
+    if (_MGROWS_OVERRIDE[0] or _MGROWS) == "rowsel":
+        # Contract P's ROW axis against the one-hot selector: exact
+        # selection, partitions row-locally when P's rows are sharded
+        # (see _MGROWS). E6's rows are zero when do=False, matching the
+        # slotdot form's onehot*do masking.
+        slot_rows = (jnp.einsum("jr,rd->jd", E6, ekf.p_compute(state.P),
+                                precision=jax.lax.Precision.HIGHEST
+                                ).astype(dtype) * ks[None, :])  # (6, D)
+    else:
+        Pmap = ekf.p_compute(state.P[CAM_DIM:CAM_DIM + 6 * cap, :]
+                             ).reshape(cap, 6, D)
+        slot_rows = (jnp.einsum("c,cjd->jd", onehot, Pmap,
+                                precision=jax.lax.Precision.HIGHEST
+                                ).astype(dtype) * ks[None, :])  # (6, D)
+    new_rows3 = J @ slot_rows                               # (3, D)
+    new_rows = jnp.concatenate(
+        [new_rows3, jnp.zeros((3, D), dtype)], axis=0)      # (6, D)
 
     # diagonal block: J (slot66) Jᵀ in the top-left 3x3
     slot66 = jax.lax.dynamic_slice(slot_rows, (0, off), (6, 6))

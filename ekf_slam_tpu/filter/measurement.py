@@ -41,6 +41,27 @@ from ekf_slam_tpu.ops import quaternion as quat
 # is the cheaper evil there.
 _SDIAG = os.environ.get("EKF_SDIAG", "flatgather")
 
+# Trace-time override (parallel/sharded_filter.py traces its tensor-
+# parallel step with "dotsel": the flat P.reshape(-1) gather merges the
+# row-SHARDED dim of P and forces a full-P all-gather per S assembly;
+# dotsel's one-hot contraction partitions row-locally).
+_SDIAG_OVERRIDE = [None]
+
+
+class sdiag_override:
+    """Context manager pinning the slot-diag extraction form while
+    tracing a program."""
+
+    def __init__(self, form):
+        self.form = form
+
+    def __enter__(self):
+        self.prev = _SDIAG_OVERRIDE[0]
+        _SDIAG_OVERRIDE[0] = self.form
+
+    def __exit__(self, *exc):
+        _SDIAG_OVERRIDE[0] = self.prev
+
 # Per-slot S assembly form (A/B knob; see innovation_covariances):
 # "aos" = the (CAP, 2, k) einsum forms — MEASURED BEST (9717.6 vs
 # 8360.7 steps/s for soa on the real bench, despite the einsums'
@@ -236,13 +257,14 @@ def _slot_diag_blocks(P: jnp.ndarray, cap: int) -> jnp.ndarray:
     vs the flat gather is traffic-shape dependent; EKF_SDIAG picks the
     form: "reduce" | "flatgather")."""
     D = P.shape[0]
-    if _SDIAG == "flatgather":
+    sdiag = _SDIAG_OVERRIDE[0] or _SDIAG
+    if sdiag == "flatgather":
         flat = P.reshape(-1)
         c = jnp.arange(cap)[:, None, None]
         ij = (jnp.arange(6)[:, None] * D + jnp.arange(6)[None, :])[None]
         base = (CAM_DIM + 6 * c) * D + CAM_DIM + 6 * c
         return flat[base + ij]
-    if _SDIAG == "dotsel":
+    if sdiag == "dotsel":
         # Column selection as a batched MXU dot against a CONSTANT
         # (CAP, 6, D) one-hot selector (loop-invariant, hoisted): reads
         # the landmark rows once in natural layout, no gather relayout.
@@ -255,7 +277,7 @@ def _slot_diag_blocks(P: jnp.ndarray, cap: int) -> jnp.ndarray:
         sel = (jnp.arange(D)[None, None, :]
                == cols[:, :, None]).astype(P.dtype)
         return jnp.einsum("cjd,ckd->cjk", Pmap, sel)
-    if _SDIAG == "blockreduce":
+    if sdiag == "blockreduce":
         # Mask the map block to its block diagonal, then reduce out the
         # slot' axis of the (CAP, 6, CAP, 6) bitcast view — each element
         # is read exactly once (unlike the "reduce" form below, which

@@ -419,3 +419,60 @@ def test_slot_diag_blocks_forms_equal(monkeypatch):
     np.testing.assert_array_equal(outs["flatgather"], outs["blockreduce"])
     np.testing.assert_array_equal(outs["flatgather"], outs["reduce"])
     np.testing.assert_array_equal(outs["flatgather"], outs["dotsel"])
+
+
+def test_predict_stripe_forms_bit_identical():
+    """EKF_STRIPES pred / predT / predsel write the same P_pred bitwise
+    (predT reorders the two stripe writes through offset (0,0); predsel
+    replaces them with mask-selects — the tensor-parallel forms,
+    parallel/sharded_filter.py)."""
+    from ekf_slam_tpu.config import FilterConfig
+    from ekf_slam_tpu.filter import ekf
+    cap = 5
+    D = CAM_DIM + 6 * cap
+    rng = np.random.default_rng(1)
+    P = jnp.asarray(_rand_spd(jax.random.key(1), D, jnp.float32))
+    x = jnp.asarray(rng.normal(size=(D,)).astype(np.float32))
+    x = x.at[3:7].set(x[3:7] / jnp.linalg.norm(x[3:7]))
+    cfg = FilterConfig()
+    outs = {}
+    for form in ("pred", "predT", "predsel"):
+        with ekf.stripes_override(form):
+            x2, P2 = ekf.predict(x, P, cfg)
+        outs[form] = (np.asarray(x2), np.asarray(P2))
+    for form in ("predT", "predsel"):
+        np.testing.assert_array_equal(outs["pred"][0], outs[form][0])
+        np.testing.assert_array_equal(outs["pred"][1], outs[form][1])
+
+
+def test_manage_rowsel_form_bit_identical():
+    """EKF_MGROWS slotdot / rowsel conversion row extraction produce the
+    same managed state (both are exact one-hot selections)."""
+    from ekf_slam_tpu.config import EngineConfig, MapConfig, SimConfig
+    from ekf_slam_tpu.filter import engine, mapman
+    from ekf_slam_tpu.filter.state import init_state
+    from ekf_slam_tpu.sim import scene as sim_scene
+    cfg = EngineConfig(
+        map=MapConfig(capacity=8, min_features_in_image=5,
+                      max_new_per_step=5,
+                      linearity_threshold=10.0),    # force conversions
+        sim=SimConfig(num_landmarks=12), dtype="float32")
+    scn, xs, obs = sim_scene.simulate(jax.random.key(2), cfg, 3)
+    st = engine.bootstrap(init_state(cfg),
+                          jax.tree.map(lambda a: a[0], obs), cfg)
+    # a couple of frames so P has cross terms and conversions trigger
+    for t in (1, 2):
+        st, _ = engine.step(st, jax.tree.map(lambda a: a[t], obs),
+                            jax.random.key(3 + t), cfg)
+    outs = {}
+    for form in ("slotdot", "rowsel"):
+        with mapman.mgrows_override(form):
+            outs[form] = mapman.manage(st, cfg)
+    assert bool(jnp.any(outs["slotdot"].cartesian)), \
+        "setup must actually convert a feature"
+    np.testing.assert_array_equal(np.asarray(outs["slotdot"].x),
+                                  np.asarray(outs["rowsel"].x))
+    np.testing.assert_array_equal(np.asarray(outs["slotdot"].P),
+                                  np.asarray(outs["rowsel"].P))
+    np.testing.assert_array_equal(np.asarray(outs["slotdot"].cartesian),
+                                  np.asarray(outs["rowsel"].cartesian))
