@@ -62,6 +62,13 @@ class sdiag_override:
     def __exit__(self, *exc):
         _SDIAG_OVERRIDE[0] = self.prev
 
+# Jacobian-chain contraction form (A/B knob; see jacobians): "chain3" =
+# three separate (CAP,2,3)x(CAP,3,k) products, "fused" = one contraction
+# against the concatenated chain factors. Bit-identical outputs; the
+# probe target is the linearize small-op soup (~15% of the sim step,
+# runs/r2n ablation).
+_JACFORM = os.environ.get("EKF_JACFORM", "chain3")
+
 # Per-slot S assembly form (A/B knob; see innovation_covariances):
 # "aos" = the (CAP, 2, k) einsum forms — MEASURED BEST (9717.6 vs
 # 8360.7 steps/s for soa on the real bench, despite the einsums'
@@ -154,11 +161,6 @@ def jacobians(x: jnp.ndarray, h: jnp.ndarray, hc: jnp.ndarray,
     dhrl_dq = quat.dRq_times_a_by_dq(
         jnp.broadcast_to(quat.qconj(qwr), (cap, 4)), a) @ quat.dqbar_dq(dtype)
 
-    H_xv = jnp.concatenate([
-        dh_dhrl @ dhrl_drw,
-        dh_dhrl @ dhrl_dq,
-        jnp.zeros((cap, 2, 6), dtype)], axis=-1)
-
     # ∂h_C/∂y — inverse-depth: 6 columns; cartesian: 3 columns (rest zero).
     dmi_dth = quat.dm_dtheta(theta, phi) @ R_wc      # R_cw·dm, batched
     dmi_dph = quat.dm_dphi(theta, phi) @ R_wc
@@ -170,6 +172,24 @@ def jacobians(x: jnp.ndarray, h: jnp.ndarray, hc: jnp.ndarray,
         jnp.broadcast_to(R_cw, (cap, 3, 3)), jnp.zeros((cap, 3, 3), dtype)],
         axis=-1)
     dhrl_dy = jnp.where(cartesian[:, None, None], dhrl_dy_cart, dhrl_dy_id)
+
+    if _JACFORM == "fused":
+        # ONE batched (CAP,2,3)x(CAP,3,13) contraction instead of three
+        # (the "small-op soup" probe, docs/BACKLOG.md #3): concatenate the
+        # camera/quaternion/slot chain factors on the output axis so the
+        # pixel-chain multiply touches its operands once. Each output
+        # element is the same 3-term dot either way — bit-identical
+        # (tests/test_layout_forms.py pins it); A/B via EKF_JACFORM.
+        rhs = jnp.concatenate([dhrl_drw, dhrl_dq, dhrl_dy], axis=-1)
+        Hb = dh_dhrl @ rhs                            # (CAP, 2, 13)
+        H_xv = jnp.concatenate([
+            Hb[:, :, :7], jnp.zeros((cap, 2, 6), dtype)], axis=-1)
+        return H_xv, Hb[:, :, 7:]
+
+    H_xv = jnp.concatenate([
+        dh_dhrl @ dhrl_drw,
+        dh_dhrl @ dhrl_dq,
+        jnp.zeros((cap, 2, 6), dtype)], axis=-1)
     H_y = dh_dhrl @ dhrl_dy
     return H_xv, H_y
 

@@ -476,3 +476,30 @@ def test_manage_rowsel_form_bit_identical():
                                   np.asarray(outs["rowsel"].P))
     np.testing.assert_array_equal(np.asarray(outs["slotdot"].cartesian),
                                   np.asarray(outs["rowsel"].cartesian))
+
+
+def test_jacobian_chain_forms_bit_identical(monkeypatch):
+    """EKF_JACFORM chain3 / fused produce bit-identical H_xv, H_y (same
+    3-term dots, one concatenated contraction vs three)."""
+    from ekf_slam_tpu.config import CameraConfig
+    from ekf_slam_tpu.filter import measurement as m
+    cap = 7
+    D = CAM_DIM + 6 * cap
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(D,)).astype(np.float32))
+    x = x.at[3:7].set(x[3:7] / jnp.linalg.norm(x[3:7]))
+    cartesian = jnp.asarray([True, False, True, False, False, True, False])
+    cam = CameraConfig()
+    slots = x[CAM_DIM:].reshape(cap, 6)
+    hc = m.camera_frame_points(x, slots, cartesian)
+    hc = jnp.where(hc[:, 2:3] > 0.1, hc, jnp.array([0.0, 0.0, 1.0]))
+    from ekf_slam_tpu.ops import camera as cam_ops
+    h = cam_ops.distort(cam_ops.project(hc, cam), cam)
+    outs = {}
+    for form in ("chain3", "fused"):
+        monkeypatch.setattr(m, "_JACFORM", form)
+        outs[form] = m.jacobians(x, h, hc, cartesian, cam)
+    np.testing.assert_array_equal(np.asarray(outs["chain3"][0]),
+                                  np.asarray(outs["fused"][0]))
+    np.testing.assert_array_equal(np.asarray(outs["chain3"][1]),
+                                  np.asarray(outs["fused"][1]))
