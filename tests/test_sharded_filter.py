@@ -114,3 +114,31 @@ def test_tp_step_collectives_stay_small():
         dims = [int(d) for d in m.group(1).split(",") if d] if m else []
         payload = int(np.prod(dims)) if dims else 0
         assert payload <= limit, f"covariance-sized collective: {line}"
+
+
+def test_tp_step_pure_model_mesh():
+    """model=8, data=1: the covariance shards 8-way on a single-instance
+    batch and still matches the single-device step."""
+    cfg = tp_cfg()
+    B, T = 1, 3
+    mesh = make_mesh(data=1, model=8)
+    D, Dp = sf.padded_dim(cfg, 8)
+    st_b, obs, frame_keys = _setup(cfg, B, T)
+
+    ref_step = jax.jit(jax.vmap(
+        lambda s, o, k: engine.step(s, o, k, cfg), in_axes=(0, None, 0)))
+    step = sf.make_sharded_step(cfg, mesh)
+    sharded = sf.shard_state_batch(st_b, mesh, cfg)
+    ref = st_b
+    for t in range(1, T):
+        obs_t = jax.tree.map(lambda a: a[t], obs)
+        sharded, _ = step(sharded, obs_t, frame_keys[t - 1])
+        ref, _ = ref_step(ref, obs_t, frame_keys[t - 1])
+
+    assert {s.data.shape for s in sharded.P.addressable_shards} \
+        == {(1, Dp // 8, Dp)}
+    out = sf.unpad_state(jax.device_get(sharded), D)
+    np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x),
+                               rtol=0, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.P), np.asarray(ref.P),
+                               rtol=1e-3, atol=2e-3)
