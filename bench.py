@@ -176,10 +176,20 @@ def main():
         lambda a: jnp.broadcast_to(a, (BATCH,) + a.shape), st)
     keys = jax.random.split(jax.random.key(1), BATCH)
 
+    # BENCH_STAGGER=1: the software-pipelined two-half driver
+    # (engine.run_sequence_staggered) — bit-identical per-instance math
+    # and key schedule (tests/test_engine.py), different instruction-level
+    # parallelism (the r2o roofline probe, docs/BENCH.md).
+    stagger = os.environ.get("BENCH_STAGGER", "0") == "1"
+
     @jax.jit
     def run(states, ks):
-        final, traj, infos = jax.vmap(
-            lambda s, k: engine.run_sequence(s, obs, k, cfg))(states, ks)
+        if stagger:
+            final, traj, infos = engine.run_sequence_staggered(
+                states, obs, ks, cfg)
+        else:
+            final, traj, infos = jax.vmap(
+                lambda s, k: engine.run_sequence(s, obs, k, cfg))(states, ks)
         # max per-update observation counts across all instances+frames:
         # the compact update silently drops inliers past max_update_obs,
         # so an honest benchmark must prove the cap was never hit.

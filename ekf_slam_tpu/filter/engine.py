@@ -623,3 +623,149 @@ def run_sequence(state: FilterState, obs_seq: FrameObs, key: jax.Array,
     keys = jax.random.split(key, T)
     final, (traj, infos) = jax.lax.scan(body, state, (obs_seq, keys))
     return final, traj, infos
+
+
+# --- software-pipelined (staggered) batched driver --------------------------
+#
+# The r2o roofline (docs/BENCH.md): at 12,637 steps/s the sim step uses
+# ~26% of HBM bandwidth and ~1% of the MXU — the binding constraint is the
+# SERIAL stage chain (manage→predict→gates→RANSAC→LI→lin2→HI→init), whose
+# small kernels only overlap within a stage. The staggered driver splits
+# the batch into two halves half a frame out of phase, so the VPU-heavy
+# gate phase (stages 1-4) of one half is schedulable against the MXU/HBM-
+# heavy update phase (stages 5-8) of the other. Per-instance math and the
+# run_sequence key schedule are IDENTICAL (tests/test_engine.py pins
+# bit-equality); only the program's instruction-level parallelism changes.
+
+@flax.struct.dataclass
+class Phase1Carry:
+    """Everything stage 5 needs, produced by stages 1-4 of one frame."""
+    state: FilterState            # post-manage state
+    x_prior: jnp.ndarray
+    P_prior: jnp.ndarray
+    z: jnp.ndarray
+    h: jnp.ndarray
+    H_xv: jnp.ndarray
+    H_y: jnp.ndarray
+    visible: jnp.ndarray
+    ic: jnp.ndarray
+    li: jnp.ndarray
+    support: jnp.ndarray
+
+
+def phase_split_supported(cfg: EngineConfig) -> bool:
+    """The two-phase split covers the DEFAULT engine path only (cols
+    update, no share_pht, no deferred tail, no iterated update, no fused
+    kernels, no ablation)."""
+    return (not _use_fused(cfg) and not cfg.filter.share_pht
+            and not cfg.filter.use_iterated_update
+            and not _DEFER and not _ABLATE and not ekf._ABLATE
+            and ekf._UPDATE != "rows")
+
+
+def step_phase1(state: FilterState, obs: FrameObs, key: jax.Array,
+                cfg: EngineConfig) -> Phase1Carry:
+    """Stages 1-4 (gather, manage, predict, gates, RANSAC) of `step` —
+    identical math, split for the staggered driver."""
+    z, z_valid = gather_measurements(state, obs)
+    state = mapman.manage(state, cfg)
+    x_prior, P_prior = ekf.predict(state.x, state.P, cfg.filter)
+    h, visible, H_xv, H_y = _linearize(x_prior, P_prior, state, cfg)[:4]
+    vm = visible.astype(H_xv.dtype)[:, None, None]
+    S = measurement.innovation_covariances(P_prior, H_xv, H_y,
+                                           cfg.filter.sigma_z)
+    ic = association.individually_compatible(z, z_valid, h, visible, S, cfg)
+    li, support = ransac.run(
+        x_prior, P_prior, z, h, H_xv * vm, H_y * vm, S, ic,
+        state.cartesian, key, cfg)
+    return Phase1Carry(state, x_prior, P_prior, z, h, H_xv, H_y,
+                       visible, ic, li, support)
+
+
+def step_phase2(c: Phase1Carry, obs: FrameObs, cfg: EngineConfig):
+    """Stages 5-8 (LI update, rescue, HI update, bookkeeping, init) —
+    the tail of `step` given a Phase1Carry. Returns (state, StepInfo)."""
+    x_post, P_post = _masked_update(
+        c.x_prior, c.P_prior, c.H_xv, c.H_y, c.z, c.h, c.li, cfg)
+    h2, vis2, H_xv2, H_y2 = _linearize(x_post, P_post, c.state, cfg)[:4]
+    S_noR = measurement.innovation_covariances(P_post, H_xv2, H_y2, 0.0)
+    hi = association.rescue_high_innovation(c.z, h2, S_noR, c.ic & vis2,
+                                            c.li, cfg)
+    x_post, P_post = _masked_update(
+        x_post, P_post, H_xv2, H_y2, c.z, h2, hi, cfg)
+    state, visible, ic, info = _step_core_epilogue(
+        c.state, x_post, P_post, c.visible, c.ic, c.li, hi, c.support, cfg)
+    state = initialize_features(state, obs, jnp.sum(ic), cfg)
+    return state, info
+
+
+def run_sequence_staggered(states: FilterState, obs_seq: FrameObs,
+                           keys: jax.Array, cfg: EngineConfig):
+    """Batched `run_sequence` with the two batch halves half a frame out
+    of phase. states: leading batch axis (B even); keys: (B,) one per
+    instance (split into per-frame keys exactly as run_sequence does).
+    Returns (final_states, traj (B, T, 13), infos (B, T) fields) — the
+    same values vmap(run_sequence) produces, in the same batch order.
+    """
+    if not phase_split_supported(cfg):
+        raise ValueError("staggered driver requires the default engine "
+                         "path (no fused/rows/share_pht/defer/iterated/"
+                         "ablate modes)")
+    B = states.x.shape[0]
+    assert B % 2 == 0, "staggered driver needs an even batch"
+    half = B // 2
+    T = obs_seq.pixels.shape[0]
+
+    fkeys = jax.vmap(lambda k: jax.random.split(k, T))(keys)   # (B, T)
+    fkA = jnp.swapaxes(fkeys[:half], 0, 1)                     # (T, half)
+    fkB = jnp.swapaxes(fkeys[half:], 0, 1)
+
+    A = jax.tree.map(lambda a: a[:half], states)
+    Bst = jax.tree.map(lambda a: a[half:], states)
+
+    p1 = jax.vmap(lambda st, o, k: step_phase1(st, o, k, cfg),
+                  in_axes=(0, None, 0))
+    p2 = jax.vmap(lambda c, o: step_phase2(c, o, cfg), in_axes=(0, None))
+
+    obs0 = jax.tree.map(lambda a: a[0], obs_seq)
+    cA = p1(A, obs0, fkA[0])
+
+    def body(carry, xs):
+        cA, stB = carry
+        obs_t, obs_tp1, kA_tp1, kB_t = xs
+        # overlap pair 1: A's update phase ∥ B's gate phase (frame t)
+        stA, infoA = p2(cA, obs_t)
+        cB = p1(stB, obs_t, kB_t)
+        # overlap pair 2: B's update phase ∥ A's gate phase (frame t+1)
+        stB, infoB = p2(cB, obs_t)
+        cA = p1(stA, obs_tp1, kA_tp1)
+        return (cA, stB), (infoA, infoB, stA.x[:, :13], stB.x[:, :13])
+
+    xs = (jax.tree.map(lambda a: a[:T - 1], obs_seq),
+          jax.tree.map(lambda a: a[1:], obs_seq),
+          fkA[1:], fkB[:T - 1])
+    (cA, Bst), (infosA, infosB, trA, trB) = jax.lax.scan(
+        body, (cA, Bst), xs)
+
+    # final frame: A completes T-1 (its phase1 ran in the last body);
+    # B runs frame T-1 whole.
+    obs_last = jax.tree.map(lambda a: a[T - 1], obs_seq)
+    A, infoA_last = p2(cA, obs_last)
+    cB = p1(Bst, obs_last, fkB[T - 1])
+    Bst, infoB_last = p2(cB, obs_last)
+
+    def _assemble(scan_part, last_part):
+        # (T-1, half, ...) + (half, ...) -> (half, T, ...)
+        full = jnp.concatenate([scan_part, last_part[None]], axis=0)
+        return jnp.swapaxes(full, 0, 1)
+
+    traj = jnp.concatenate(
+        [_assemble(trA, A.x[:, :13]), _assemble(trB, Bst.x[:, :13])],
+        axis=0)
+    infos = jax.tree.map(
+        lambda sa, la, sb, lb: jnp.concatenate(
+            [_assemble(sa, la), _assemble(sb, lb)], axis=0),
+        infosA, infoA_last, infosB, infoB_last)
+    final = jax.tree.map(
+        lambda a, b: jnp.concatenate([a, b], axis=0), A, Bst)
+    return final, traj, infos

@@ -183,3 +183,34 @@ def test_deferred_update_matches_sequential():
     np.testing.assert_array_equal(outs[False][3], outs[True][3])
     np.testing.assert_allclose(outs[True][0], outs[False][0], atol=1e-10)
     np.testing.assert_allclose(outs[True][1], outs[False][1], atol=1e-9)
+
+
+def test_staggered_driver_bit_equals_run_sequence():
+    """run_sequence_staggered (the software-pipelined two-half driver)
+    reproduces vmap(run_sequence) exactly: same per-instance math, same
+    key schedule, only the program's instruction-level parallelism
+    differs."""
+    cfg = small_cfg()
+    B, T = 4, 6
+    scn, xs, obs = sim_scene.simulate(jax.random.key(11), cfg, T)
+    st = init_state(cfg)
+    st = engine.bootstrap(st, jax.tree.map(lambda a: a[0], obs), cfg)
+    st_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), st)
+    keys = jax.random.split(jax.random.key(12), B)
+
+    ref_run = jax.jit(jax.vmap(
+        lambda s, k: engine.run_sequence(s, obs, k, cfg)))
+    ref_final, ref_traj, ref_infos = ref_run(st_b, keys)
+
+    stag = jax.jit(engine.run_sequence_staggered, static_argnames="cfg")
+    final, traj, infos = stag(st_b, obs, keys, cfg)
+
+    np.testing.assert_array_equal(np.asarray(traj), np.asarray(ref_traj))
+    np.testing.assert_array_equal(np.asarray(final.x),
+                                  np.asarray(ref_final.x))
+    np.testing.assert_array_equal(np.asarray(final.P),
+                                  np.asarray(ref_final.P))
+    for f in ("n_visible", "n_ic", "n_li", "n_hi", "ransac_support"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(infos, f)),
+            np.asarray(getattr(ref_infos, f)), err_msg=f)
