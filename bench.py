@@ -71,8 +71,18 @@ def main_pixels():
     app_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (b,) + a.shape),
                          app0)
 
+    # BENCH_STAGGER=1: software-pipelined two-half driver — the matcher
+    # (phase 1) of one half schedules against the updates (phase 2) of
+    # the other; bit-identical per-instance math (tests/test_vision.py).
+    stagger = os.environ.get("BENCH_STAGGER", "0") == "1"
+
     @jax.jit
     def run(states, apps, ks):
+        if stagger:
+            s, a, traj, infos = frontend.run_images_staggered(
+                states, apps, imgs, ks, cfg)
+            return s, traj, jnp.max(infos.search_r_needed)
+
         def one(st, app, k):
             def body(carry, inp):
                 s, a = carry

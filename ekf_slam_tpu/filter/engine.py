@@ -663,13 +663,13 @@ def phase_split_supported(cfg: EngineConfig) -> bool:
             and ekf._UPDATE != "rows")
 
 
-def step_phase1(state: FilterState, obs: FrameObs, key: jax.Array,
-                cfg: EngineConfig) -> Phase1Carry:
-    """Stages 1-4 (gather, manage, predict, gates, RANSAC) of `step` —
-    identical math, split for the staggered driver."""
-    z, z_valid = gather_measurements(state, obs)
-    state = mapman.manage(state, cfg)
-    x_prior, P_prior = ekf.predict(state.x, state.P, cfg.filter)
+def gates_phase(state: FilterState, x_prior: jnp.ndarray,
+                P_prior: jnp.ndarray, z: jnp.ndarray, z_valid: jnp.ndarray,
+                key: jax.Array, cfg: EngineConfig) -> Phase1Carry:
+    """Stages 3-4 (linearize, gates, RANSAC) given an already-managed
+    state, its prediction and candidate measurements — the shared gate
+    half of the sim (`step_phase1`) and image
+    (vision/frontend.step_image_phase1) phase splits."""
     h, visible, H_xv, H_y = _linearize(x_prior, P_prior, state, cfg)[:4]
     vm = visible.astype(H_xv.dtype)[:, None, None]
     S = measurement.innovation_covariances(P_prior, H_xv, H_y,
@@ -682,9 +682,20 @@ def step_phase1(state: FilterState, obs: FrameObs, key: jax.Array,
                        visible, ic, li, support)
 
 
-def step_phase2(c: Phase1Carry, obs: FrameObs, cfg: EngineConfig):
-    """Stages 5-8 (LI update, rescue, HI update, bookkeeping, init) —
-    the tail of `step` given a Phase1Carry. Returns (state, StepInfo)."""
+def step_phase1(state: FilterState, obs: FrameObs, key: jax.Array,
+                cfg: EngineConfig) -> Phase1Carry:
+    """Stages 1-4 (gather, manage, predict, gates, RANSAC) of `step` —
+    identical math, split for the staggered driver."""
+    z, z_valid = gather_measurements(state, obs)
+    state = mapman.manage(state, cfg)
+    x_prior, P_prior = ekf.predict(state.x, state.P, cfg.filter)
+    return gates_phase(state, x_prior, P_prior, z, z_valid, key, cfg)
+
+
+def update_phase(c: Phase1Carry, cfg: EngineConfig):
+    """Stages 5-7 + bookkeeping (LI update, rescue, HI update, counters)
+    given a Phase1Carry. Returns (state, ic, StepInfo) — feature init is
+    the caller's (it needs a measurement source: obs or image)."""
     x_post, P_post = _masked_update(
         c.x_prior, c.P_prior, c.H_xv, c.H_y, c.z, c.h, c.li, cfg)
     h2, vis2, H_xv2, H_y2 = _linearize(x_post, P_post, c.state, cfg)[:4]
@@ -695,6 +706,13 @@ def step_phase2(c: Phase1Carry, obs: FrameObs, cfg: EngineConfig):
         x_post, P_post, H_xv2, H_y2, c.z, h2, hi, cfg)
     state, visible, ic, info = _step_core_epilogue(
         c.state, x_post, P_post, c.visible, c.ic, c.li, hi, c.support, cfg)
+    return state, ic, info
+
+
+def step_phase2(c: Phase1Carry, obs: FrameObs, cfg: EngineConfig):
+    """Stages 5-8 (LI update, rescue, HI update, bookkeeping, init) —
+    the tail of `step` given a Phase1Carry. Returns (state, StepInfo)."""
+    state, ic, info = update_phase(c, cfg)
     state = initialize_features(state, obs, jnp.sum(ic), cfg)
     return state, info
 

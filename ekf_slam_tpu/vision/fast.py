@@ -18,6 +18,7 @@ import os as _os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # Arc-test lowering form (EKF_FASTARC): "runlen" = int32 log-doubling run
 # length over the doubled 32-row sequence (the original form, current
@@ -30,7 +31,10 @@ _ARC_FORM = _os.environ.get("EKF_FASTARC", "runlen")
 _TAPS_FORM = _os.environ.get("EKF_FASTTAPS", "roll")
 
 # 16-point Bresenham circle of radius 3, clockwise (standard FAST layout).
-CIRCLE = jnp.array([
+# NumPy, not jnp: a module-level device array initializes the JAX backend
+# at import time — with the tunneled-TPU backend that costs a remote
+# round-trip (and HANGS when the tunnel is down; hit live in r2o).
+CIRCLE = np.array([
     (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
     (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1)])
 

@@ -412,3 +412,126 @@ def step_image(state: FilterState, app: Appearance, img: jnp.ndarray,
         state, uv, take, frame_ids, cfg)
     app = store_appearance(app, state, img, uv, assigned)
     return state, app, info
+
+
+# --- software-pipelined (staggered) image-path driver ------------------------
+#
+# Same scheme as engine.run_sequence_staggered (r2o roofline): the image
+# step's phase 1 (manage, predict, the MATCHER — warp/FAST/describe/NCC,
+# the dominant cost of the pixels path — gates, RANSAC) of one batch half
+# is schedulable against phase 2 (the MXU/HBM-heavy updates + feature
+# init + appearance store) of the other. Per-instance math is identical
+# (tests/test_vision.py pins bit-equality with the step_image loop).
+
+@flax.struct.dataclass
+class ImagePhase1Carry:
+    core: engine.Phase1Carry
+    app: Appearance
+    h_pred: jnp.ndarray
+    pred_vis: jnp.ndarray
+    r_needed: jnp.ndarray
+
+
+def step_image_phase1(state: FilterState, app: Appearance, img: jnp.ndarray,
+                      key: jax.Array, cfg: EngineConfig) -> ImagePhase1Carry:
+    """Stages 1-4 of step_image: manage, ONE shared prediction, the
+    appearance matcher, gates and RANSAC."""
+    state = mapman.manage(state, cfg)
+    x_prior, P_prior = ekf.predict(state.x, state.P, cfg.filter)
+    z, z_valid, h_pred, pred_vis, r_needed = measure_at_prior(
+        state, app, img, x_prior, P_prior, cfg)
+    core = engine.gates_phase(state, x_prior, P_prior, z, z_valid, key, cfg)
+    return ImagePhase1Carry(core, app, h_pred, pred_vis, r_needed)
+
+
+def step_image_phase2(c: ImagePhase1Carry, img: jnp.ndarray,
+                      cfg: EngineConfig):
+    """Stages 5-8 of step_image: updates, bookkeeping, feature init from
+    the current image, appearance store. Returns (state, app, StepInfo)."""
+    state, ic, info = engine.update_phase(c.core, cfg)
+    info = info.replace(search_r_needed=c.r_needed)
+    need = jnp.sum(ic) < cfg.map.min_features_in_image
+    uv, cand = select_new_feature_pixels(img, c.h_pred, c.pred_vis, cfg)
+    k = jnp.arange(uv.shape[0])
+    deficit = jnp.maximum(cfg.map.min_features_in_image - jnp.sum(ic), 0)
+    take = cand & (k < deficit) & need
+    frame_ids = jnp.full((uv.shape[0],), -1, jnp.int32)
+    state, assigned = mapman.add_features_batch(
+        state, uv, take, frame_ids, cfg)
+    app = store_appearance(c.app, state, img, uv, assigned)
+    return state, app, info
+
+
+def run_images_staggered(states: FilterState, apps: Appearance,
+                         imgs: jnp.ndarray, keys: jax.Array,
+                         cfg: EngineConfig):
+    """Batched image-sequence driver with the two batch halves half a
+    frame out of phase. states/apps: leading batch axis (B even);
+    imgs: (T, H, W) shared frames; keys: (B,) one per instance, split
+    into per-frame keys exactly as the step_image scan does. Returns
+    (final_states, final_apps, traj (B, T, 13), infos (B, T) fields).
+    """
+    # NOTE: engine.phase_split_supported also excludes the fused sim
+    # kernels, which step_image never routes through — check only the
+    # conditions that apply to the image path.
+    if (cfg.filter.share_pht or cfg.filter.use_iterated_update
+            or engine._DEFER or engine._ABLATE or ekf._ABLATE
+            or ekf._UPDATE == "rows"):
+        raise ValueError("staggered image driver requires the default "
+                         "engine path")
+    B = states.x.shape[0]
+    assert B % 2 == 0, "staggered driver needs an even batch"
+    half = B // 2
+    T = imgs.shape[0]
+
+    fkeys = jax.vmap(lambda k: jax.random.split(k, T))(keys)   # (B, T)
+    fkA = jnp.swapaxes(fkeys[:half], 0, 1)
+    fkB = jnp.swapaxes(fkeys[half:], 0, 1)
+
+    A = jax.tree.map(lambda a: a[:half], states)
+    Bst = jax.tree.map(lambda a: a[half:], states)
+    appA = jax.tree.map(lambda a: a[:half], apps)
+    appB = jax.tree.map(lambda a: a[half:], apps)
+
+    p1 = jax.vmap(lambda st, ap, im, k: step_image_phase1(st, ap, im, k,
+                                                          cfg),
+                  in_axes=(0, 0, None, 0))
+    p2 = jax.vmap(lambda c, im: step_image_phase2(c, im, cfg),
+                  in_axes=(0, None))
+
+    cA = p1(A, appA, imgs[0], fkA[0])
+
+    def body(carry, xs):
+        cA, stB, appB = carry
+        img_t, img_tp1, kA_tp1, kB_t = xs
+        stA, appA, infoA = p2(cA, img_t)
+        cB = p1(stB, appB, img_t, kB_t)
+        stB, appB, infoB = p2(cB, img_t)
+        cA = p1(stA, appA, img_tp1, kA_tp1)
+        return (cA, stB, appB), (infoA, infoB,
+                                 stA.x[:, :13], stB.x[:, :13])
+
+    xs = (imgs[:T - 1], imgs[1:], fkA[1:], fkB[:T - 1])
+    (cA, Bst, appB), (infosA, infosB, trA, trB) = jax.lax.scan(
+        body, (cA, Bst, appB), xs)
+
+    A, appA, infoA_last = p2(cA, imgs[T - 1])
+    cB = p1(Bst, appB, imgs[T - 1], fkB[T - 1])
+    Bst, appB, infoB_last = p2(cB, imgs[T - 1])
+
+    def _assemble(scan_part, last_part):
+        full = jnp.concatenate([scan_part, last_part[None]], axis=0)
+        return jnp.swapaxes(full, 0, 1)
+
+    traj = jnp.concatenate(
+        [_assemble(trA, A.x[:, :13]), _assemble(trB, Bst.x[:, :13])],
+        axis=0)
+    infos = jax.tree.map(
+        lambda sa, la, sb, lb: jnp.concatenate(
+            [_assemble(sa, la), _assemble(sb, lb)], axis=0),
+        infosA, infoA_last, infosB, infoB_last)
+    final = jax.tree.map(
+        lambda a, b: jnp.concatenate([a, b], axis=0), A, Bst)
+    final_apps = jax.tree.map(
+        lambda a, b: jnp.concatenate([a, b], axis=0), appA, appB)
+    return final, final_apps, traj, infos
