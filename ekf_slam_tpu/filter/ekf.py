@@ -370,14 +370,18 @@ def update_factors(x: jnp.ndarray, P4: jnp.ndarray, H: jnp.ndarray,
 def update(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray, z: jnp.ndarray,
            h: jnp.ndarray, row_mask: jnp.ndarray, r_diag: jnp.ndarray,
            use_pallas: bool = False, gain_solver: str = "cholesky",
-           PHt: jnp.ndarray = None):
+           PHt: jnp.ndarray = None, return_factors: bool = False):
     """Masked EKF measurement update (update.m:1-32).
 
     H: (M, D) dense Jacobian, rows for unused measurements MUST be zero.
     z, h: (M,) stacked measurements/predictions. row_mask: (M,) bool.
     r_diag: (M,) measurement noise variances for active rows.
 
-    Returns (x_new, P_new).
+    Returns (x_new, P_new); with return_factors=True (plain-XLA folded
+    stacked tail only), (x_new, P_new, (Ā, B̄)) — the rank-(2M+8) factors
+    with P_new = P + Ā·B̄ᵀ, so callers can DOWNDATE small covariance
+    blocks (the engine's incremental S₂ form, EKF_S2FORM=inc) instead of
+    re-extracting them from the materialized posterior.
     """
     # PHt may be precomputed by the caller from H's block structure
     # (measurement.pht_slots / the fused kernels' pht outputs). The caller
@@ -388,6 +392,9 @@ def update(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray, z: jnp.ndarray,
     x_new, K, PHt = update_gain(
         x, P, H, z, h, row_mask, r_diag, gain_solver, PHt)
     if "tail" in _ABLATE:
+        if return_factors:
+            raise ValueError("return_factors is incompatible with the "
+                             "tail ablation")
         x_new = x_new.at[3:7].set(
             x_new[3:7] / jnp.linalg.norm(x_new[3:7]))
         return x_new, P
@@ -402,6 +409,9 @@ def update(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray, z: jnp.ndarray,
     pallas_ok = P.dtype == jnp.float32 or (
         P.dtype == jnp.bfloat16 and _PALLAS_BF16)
     if use_pallas and x.dtype == jnp.float32 and pallas_ok:
+        if return_factors:
+            raise ValueError("return_factors is incompatible with the "
+                             "fused_update_tail kernel path")
         # The kernel reads/writes P in its STORAGE dtype (bf16 fast mode
         # included: upcast on read, round on store) with f32 arithmetic —
         # one P pass for downdate+symmetrize+renorm.
@@ -435,7 +445,9 @@ def update(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray, z: jnp.ndarray,
             from ekf_slam_tpu.ops import pallas_kernels
             if (pallas_kernels.pallas_supported()
                     or pallas_kernels._INTERPRET[0]):
-                return x_new, pallas_kernels.corr_apply_cols(P, A_f, B_f)
+                P_new = pallas_kernels.corr_apply_cols(P, A_f, B_f)
+                return ((x_new, P_new, (A_f, B_f)) if return_factors
+                        else (x_new, P_new))
         if _TAIL16 and P.dtype == jnp.bfloat16:
             # bf16 fast mode only: the correction dot as ONE DEFAULT-
             # precision bf16 MXU pass (vs 3 tensorfloat32 passes). The
@@ -450,7 +462,13 @@ def update(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray, z: jnp.ndarray,
             P_new = p_compute(P) + corr
         else:
             P_new = p_compute(P) + A_f @ B_f.T
+        if return_factors:
+            return x_new, p_store(P_new, P), (A_f, B_f)
         return x_new, p_store(P_new, P)
+    if return_factors:
+        raise ValueError("return_factors requires the folded stacked "
+                         "tail (EKF_TAIL=folded, EKF_SYM=stacked, no "
+                         "tail/renorm ablation, no fused-kernel path)")
     if _SYM == "stacked":
         # Symmetric downdate as ONE stacked dot: K·PHtᵀ + PHt·Kᵀ =
         # [K|PHt]·[PHt|K]ᵀ — no full-P transpose (which pays a full-P
@@ -511,6 +529,9 @@ def update_rows(x: jnp.ndarray, P: jnp.ndarray, H: jnp.ndarray,
              else _spd_inverse(S))
     x_new = x + jnp.einsum("md,m->d", HP, W @ nu)
     if "tail" in _ABLATE:
+        if return_factors:
+            raise ValueError("return_factors is incompatible with the "
+                             "tail ablation")
         x_new = x_new.at[3:7].set(
             x_new[3:7] / jnp.linalg.norm(x_new[3:7]))
         return x_new, P

