@@ -677,7 +677,9 @@ def run_sequence(state: FilterState, obs_seq: FrameObs, key: jax.Array,
 
 @flax.struct.dataclass
 class Phase1Carry:
-    """Everything stage 5 needs, produced by stages 1-4 of one frame."""
+    """Everything stage 5 needs, produced by stages 1-4 of one frame.
+    top13/pyy1 are the prior's S1 covariance blocks, carried only in the
+    incremental rescue-block mode (EKF_S2FORM=inc; None otherwise)."""
     state: FilterState            # post-manage state
     x_prior: jnp.ndarray
     P_prior: jnp.ndarray
@@ -689,6 +691,8 @@ class Phase1Carry:
     ic: jnp.ndarray
     li: jnp.ndarray
     support: jnp.ndarray
+    top13: jnp.ndarray = None
+    pyy1: jnp.ndarray = None
 
 
 def phase_split_supported(cfg: EngineConfig) -> bool:
@@ -701,6 +705,15 @@ def phase_split_supported(cfg: EngineConfig) -> bool:
             and ekf._UPDATE != "rows")
 
 
+def _phase_s2_inc(cfg: EngineConfig) -> bool:
+    """EKF_S2FORM=inc applicability on the phase-split (default) path."""
+    return (_S2FORM == "inc" and ekf._TAIL == "folded"
+            and ekf._SYM == "stacked" and ekf._TAIL_APPLY != "pallas"
+            and not ekf._TAIL16 and not _use_pallas(cfg)
+            and measurement._S1FORM != "soa"
+            and not _ABLATE and not ekf._ABLATE)
+
+
 def gates_phase(state: FilterState, x_prior: jnp.ndarray,
                 P_prior: jnp.ndarray, z: jnp.ndarray, z_valid: jnp.ndarray,
                 key: jax.Array, cfg: EngineConfig) -> Phase1Carry:
@@ -710,14 +723,22 @@ def gates_phase(state: FilterState, x_prior: jnp.ndarray,
     (vision/frontend.step_image_phase1) phase splits."""
     h, visible, H_xv, H_y = _linearize(x_prior, P_prior, state, cfg)[:4]
     vm = visible.astype(H_xv.dtype)[:, None, None]
-    S = measurement.innovation_covariances(P_prior, H_xv, H_y,
-                                           cfg.filter.sigma_z)
+    top13 = pyy1 = None
+    if _phase_s2_inc(cfg):
+        cap = state.capacity
+        top13 = ekf.p_compute(P_prior[:measurement.CAM_DIM, :])
+        pyy1 = measurement._slot_diag_blocks(ekf.p_compute(P_prior), cap)
+        S = measurement.innovation_covariances_from_blocks(
+            top13, pyy1, H_xv, H_y, cfg.filter.sigma_z)
+    else:
+        S = measurement.innovation_covariances(P_prior, H_xv, H_y,
+                                               cfg.filter.sigma_z)
     ic = association.individually_compatible(z, z_valid, h, visible, S, cfg)
     li, support = ransac.run(
         x_prior, P_prior, z, h, H_xv * vm, H_y * vm, S, ic,
         state.cartesian, key, cfg)
     return Phase1Carry(state, x_prior, P_prior, z, h, H_xv, H_y,
-                       visible, ic, li, support)
+                       visible, ic, li, support, top13, pyy1)
 
 
 def step_phase1(state: FilterState, obs: FrameObs, key: jax.Array,
@@ -734,10 +755,21 @@ def update_phase(c: Phase1Carry, cfg: EngineConfig):
     """Stages 5-7 + bookkeeping (LI update, rescue, HI update, counters)
     given a Phase1Carry. Returns (state, ic, StepInfo) — feature init is
     the caller's (it needs a measurement source: obs or image)."""
-    x_post, P_post = _masked_update(
-        c.x_prior, c.P_prior, c.H_xv, c.H_y, c.z, c.h, c.li, cfg)
+    if c.top13 is not None:
+        x_post, P_post, (A1, B1) = _masked_update(
+            c.x_prior, c.P_prior, c.H_xv, c.H_y, c.z, c.h, c.li, cfg,
+            return_factors=True)
+    else:
+        x_post, P_post = _masked_update(
+            c.x_prior, c.P_prior, c.H_xv, c.H_y, c.z, c.h, c.li, cfg)
     h2, vis2, H_xv2, H_y2 = _linearize(x_post, P_post, c.state, cfg)[:4]
-    S_noR = measurement.innovation_covariances(P_post, H_xv2, H_y2, 0.0)
+    if c.top13 is not None:
+        top13_2, pyy2 = _deferred_hi_blocks(
+            c.top13, c.pyy1, A1, B1, c.state.capacity)
+        S_noR = measurement.innovation_covariances_from_blocks(
+            top13_2, pyy2, H_xv2, H_y2, 0.0)
+    else:
+        S_noR = measurement.innovation_covariances(P_post, H_xv2, H_y2, 0.0)
     hi = association.rescue_high_innovation(c.z, h2, S_noR, c.ic & vis2,
                                             c.li, cfg)
     x_post, P_post = _masked_update(

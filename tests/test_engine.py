@@ -242,3 +242,29 @@ def test_s2form_inc_bit_equals_extract(monkeypatch):
     assert outs["extract"][1] == outs["inc"][1]
     # the workload exercised the rescue path at least once
     assert sum(outs["extract"][1]) >= 0
+
+
+def test_staggered_with_inc_blocks_bit_equals_plain(monkeypatch):
+    """BENCH_STAGGER + EKF_S2FORM=inc composed still reproduces the plain
+    vmapped run_sequence bitwise."""
+    monkeypatch.setattr(engine, "_S2FORM", "inc")
+    cfg = small_cfg()
+    B, T = 4, 5
+    scn, xs, obs = sim_scene.simulate(jax.random.key(13), cfg, T)
+    st = engine.bootstrap(init_state(cfg),
+                          jax.tree.map(lambda a: a[0], obs), cfg)
+    st_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), st)
+    keys = jax.random.split(jax.random.key(14), B)
+
+    monkeypatch.setattr(engine, "_S2FORM", "extract")
+    ref_run = jax.jit(jax.vmap(
+        lambda s, k: engine.run_sequence(s, obs, k, cfg)))
+    ref_final, ref_traj, _ = ref_run(st_b, keys)
+
+    monkeypatch.setattr(engine, "_S2FORM", "inc")
+    stag = jax.jit(engine.run_sequence_staggered, static_argnames="cfg")
+    final, traj, infos = stag(st_b, obs, keys, cfg)
+
+    np.testing.assert_array_equal(np.asarray(traj), np.asarray(ref_traj))
+    np.testing.assert_array_equal(np.asarray(final.P),
+                                  np.asarray(ref_final.P))

@@ -18,6 +18,8 @@ echo "=== BENCH_STAGGER=1 sim A/B (software-pipelined two-half driver)" >> $LOG
 BENCH_STAGGER=1 timeout 1500 python bench.py >> $LOG 2>&1
 echo "=== EKF_S2FORM=inc sim A/B (incremental rescue blocks)" >> $LOG
 EKF_S2FORM=inc timeout 1500 python bench.py >> $LOG 2>&1
+echo "=== BENCH_STAGGER=1 EKF_S2FORM=inc composed sim A/B" >> $LOG
+BENCH_STAGGER=1 EKF_S2FORM=inc timeout 1500 python bench.py >> $LOG 2>&1
 echo "=== pixels descriptor baseline" >> $LOG
 BENCH_MODE=pixels timeout 1500 python bench.py >> $LOG 2>&1
 echo "=== pixels EKF_ABLATE=winext (shared-form attribution)" >> $LOG
