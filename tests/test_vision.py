@@ -518,7 +518,8 @@ def test_describe_regions_flat_form_equivalent():
 
 
 @pytest.mark.slow
-def test_staggered_image_driver_bit_equals_step_image():
+@pytest.mark.parametrize("matcher", ["ncc", "descriptor"])
+def test_staggered_image_driver_bit_equals_step_image(matcher):
     """frontend.run_images_staggered (the software-pipelined two-half
     driver) reproduces the per-instance step_image scan exactly — same
     math and key schedule, different instruction-level parallelism."""
@@ -526,7 +527,7 @@ def test_staggered_image_driver_bit_equals_step_image():
         map=MapConfig(capacity=24, min_features_in_image=10,
                       max_new_per_step=10),
         vision=VisionConfig(search_radius=10, min_ncc=0.4,
-                            matcher="descriptor", max_hamming=80.0),
+                            matcher=matcher, max_hamming=80.0),
         sim=SimConfig(num_landmarks=40, depth_min=2.0, depth_max=6.0,
                       v_init=(0.002, 0.0, 0.004), w_init=(0.0, 0.001, 0.0),
                       traj_accel_std=2e-4, traj_alpha_std=2e-4))
