@@ -37,7 +37,10 @@ def main():
             if lbl in ("baseline", "EKF_ABLATE="):
                 base = v
     if base is None:
-        print("no baseline found; pass it as argv[2]")
+        # no baseline: list raw values (e.g. a mixed A/B queue log)
+        print(f"{'config':<56}{'steps/s':>10}{'µs/step':>10}")
+        for lbl, v in rows:
+            print(f"{lbl:<56}{v:>10.1f}{1e6 / v:>10.2f}")
         return
     t0 = 1e6 / base  # per-step µs
     print(f"baseline {base:.1f} steps/s = {t0:.2f} µs/step")
