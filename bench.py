@@ -55,7 +55,7 @@ def main_pixels():
         map=MapConfig(capacity=cap, min_features_in_image=25,
                       max_new_per_step=10, max_update_obs=64),
         vision=VisionConfig(
-            matcher=os.environ.get("BENCH_MATCHER", "ncc"),
+            matcher=os.environ.get("BENCH_MATCHER", "descriptor"),
             search_radius=int(os.environ.get("BENCH_R", "12")),
             corners_per_window=int(os.environ.get("BENCH_C", "8")),
             warp_distortion=os.environ.get("BENCH_WARPDIST", "affine")),
