@@ -115,6 +115,10 @@ def main():
                     help="perceptual-aliasing group size: draw the eval "
                          "places from places/aliasing structural "
                          "archetypes (0 = independent scenes)")
+    ap.add_argument("--aliasing-sweep", default="",
+                    help="comma list of aliasing group sizes to re-eval "
+                         "the trained model at (difficulty curve), e.g. "
+                         "'2,4,8,16'")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -175,6 +179,8 @@ def main():
           f"(lift {trained_eval['auc'] - base_eval['auc']:+.4f})")
 
     # G-CALC2 re-rank (test_net.py:176-206).
+    from ekf_slam_tpu.models import evaluate as _ev
+
     @jax.jit
     def embed_kp(imgs):
         outs = model.apply(variables, imgs, train=False,
@@ -191,12 +197,15 @@ def main():
         return (jnp.concatenate(ds),
                 jax.tree.map(lambda *a: jnp.concatenate(a), *kps))
 
-    d_live, kp_live = batched_embed(live)
-    d_mem, kp_mem = batched_embed(mem)
-    lcfg = lc.LoopConfig(min_inliers=10, ransac_hypotheses=16)
-    glabels, gscores = evaluate.geometric_rerank(
-        d_live, kp_live, d_mem, kp_mem, lcfg, jax.random.key(9), top_k=5)
-    g_auc = evaluate.pr_auc(glabels, gscores)
+    def gcalc2_auc(live_i, mem_i, key):
+        d_l, kp_l = batched_embed(live_i)
+        d_m, kp_m = batched_embed(mem_i)
+        lcfg_i = lc.LoopConfig(min_inliers=10, ransac_hypotheses=16)
+        gl, gs = _ev.geometric_rerank(d_l, kp_l, d_m, kp_m, lcfg_i,
+                                      key, top_k=5)
+        return _ev.pr_auc(gl, gs)
+
+    g_auc = gcalc2_auc(live, mem, jax.random.key(9))
     print(f"G-CALC2 re-rank PR-AUC: {g_auc:.4f}")
 
     # Online loop closure on a revisit sequence (close_kitti_loops.py
@@ -243,6 +252,35 @@ def main():
     print(f"loops declared on revisit pass: {n_declared} "
           f"({correct} correct)")
 
+    # Aliasing difficulty curve (--aliasing-sweep "2,4,8,16"): re-run the
+    # place eval at several archetype group sizes with the SAME trained
+    # weights. The r2run4 single point showed plain retrieval collapsing
+    # under aliasing while the G-CALC2 geometric re-rank carries the
+    # system (test_net.py's retrieval-proposes/geometry-disposes split);
+    # the sweep turns that into a curve: auc(group) for plain vs re-rank.
+    sweep_rows = []
+    for g in ([int(s) for s in args.aliasing_sweep.split(",") if s]
+              if args.aliasing_sweep else []):
+        ev_u, _, _ = eval_places(model, vars0, args.places, hw,
+                                 jax.random.key(5),
+                                 severity=args.eval_severity, aliasing=g)
+        ev_t, live_g, mem_g = eval_places(model, variables, args.places,
+                                          hw, jax.random.key(5),
+                                          severity=args.eval_severity,
+                                          aliasing=g)
+        gr = gcalc2_auc(live_g, mem_g, jax.random.key(9))
+        row = {"group": g, "pr_auc_untrained": float(ev_u["auc"]),
+               "pr_auc_trained": float(ev_t["auc"]),
+               "pr_auc_gcalc2": float(gr)}
+        for k in ("true_revisit_p50", "aliased_impostor_p50",
+                  "cross_arch_impostor_p99"):
+            if k in ev_t:
+                row[k] = ev_t[k]
+        sweep_rows.append(row)
+        print(f"aliasing group {g}: plain {row['pr_auc_trained']:.4f} "
+              f"(untrained {row['pr_auc_untrained']:.4f}), "
+              f"G-CALC2 {row['pr_auc_gcalc2']:.4f}")
+
     train.save_checkpoint(
         os.path.abspath(os.path.join(args.out, "ckpt_final")), state)
     results = {
@@ -259,6 +297,7 @@ def main():
         "loop_sim_threshold": thr,
         "eval_severity": args.eval_severity,
         "aliasing": args.aliasing,
+        "aliasing_sweep": sweep_rows,
         "train_steps_per_s": args.steps / max(train_s, 1e-9),
         "class_weights": load_weights(data_dir).tolist(),
     }
