@@ -38,6 +38,14 @@ FRAMES = int(os.environ.get("BENCH_FRAMES", "16"))  # frames per timed run
 TARGET = 10_000.0  # steps/sec/chip (BASELINE.json north star)
 
 
+def _stagger_chains() -> int:
+    """BENCH_STAGGER: 0 = plain vmap driver; 1 = the original two-half
+    software-pipelined driver (legacy spelling); k>=2 = k chains of
+    BATCH/k each (engine.staggered_chains_drive)."""
+    v = int(os.environ.get("BENCH_STAGGER", "0"))
+    return 2 if v == 1 else v
+
+
 def main_pixels():
     """Image-path variant (BENCH_MODE=pixels): full step_image pipeline —
     template warp + NCC/descriptor matching + FAST init + the filter — on
@@ -71,16 +79,17 @@ def main_pixels():
     app_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (b,) + a.shape),
                          app0)
 
-    # BENCH_STAGGER=1: software-pipelined two-half driver — the matcher
-    # (phase 1) of one half schedules against the updates (phase 2) of
-    # the other; bit-identical per-instance math (tests/test_vision.py).
-    stagger = os.environ.get("BENCH_STAGGER", "0") == "1"
+    # BENCH_STAGGER=k: software-pipelined k-chain driver — the matcher
+    # (phase 1) of one chain schedules against the updates (phase 2) of
+    # another; bit-identical per-instance math (tests/test_vision.py).
+    # "1" = the original two-half driver; k>=2 = k chains of b/k.
+    chains = _stagger_chains()
 
     @jax.jit
     def run(states, apps, ks):
-        if stagger:
+        if chains:
             s, a, traj, infos = frontend.run_images_staggered(
-                states, apps, imgs, ks, cfg)
+                states, apps, imgs, ks, cfg, chains=chains)
             return s, traj, jnp.max(infos.search_r_needed)
 
         def one(st, app, k):
@@ -186,17 +195,17 @@ def main():
         lambda a: jnp.broadcast_to(a, (BATCH,) + a.shape), st)
     keys = jax.random.split(jax.random.key(1), BATCH)
 
-    # BENCH_STAGGER=1: the software-pipelined two-half driver
+    # BENCH_STAGGER=k: the software-pipelined k-chain driver
     # (engine.run_sequence_staggered) — bit-identical per-instance math
     # and key schedule (tests/test_engine.py), different instruction-level
     # parallelism (the r2o roofline probe, docs/BENCH.md).
-    stagger = os.environ.get("BENCH_STAGGER", "0") == "1"
+    chains = _stagger_chains()
 
     @jax.jit
     def run(states, ks):
-        if stagger:
+        if chains:
             final, traj, infos = engine.run_sequence_staggered(
-                states, obs, ks, cfg)
+                states, obs, ks, cfg, chains=chains)
         else:
             final, traj, infos = jax.vmap(
                 lambda s, k: engine.run_sequence(s, obs, k, cfg))(states, ks)

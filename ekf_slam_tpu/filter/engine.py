@@ -787,73 +787,121 @@ def step_phase2(c: Phase1Carry, obs: FrameObs, cfg: EngineConfig):
     return state, info
 
 
+def staggered_chains_drive(states_list, p1, p2, frames, keys_list):
+    """Generic k-chain software-pipelined sequence driver.
+
+    The k chains are independent batch slices of one big batch, advanced
+    through the SAME shared frame sequence with their phase boundaries
+    interleaved in program order:
+
+        p2(chain 0, t) ; p1(chain 1, t) ; p2(chain 1, t) ; ... ;
+        p2(chain k-1, t) ; p1(chain 0, t+1)
+
+    Every gate half (phase 1) is adjacent to another chain's update half
+    (phase 2) with no data dependence between them, so XLA's scheduler
+    can overlap their kernels. k=2 is the original two-half driver; the
+    per-chain math is identical for any k (bit-pinned in
+    tests/test_engine.py / tests/test_vision.py).
+
+    states_list: k per-chain state pytrees. p1(state, frame, key) ->
+    carry; p2(carry, frame) -> (state, out-pytree). frames: pytree with
+    leading time axis T shared by all chains. keys_list: k arrays
+    (T, ...) of per-frame keys. Returns (final_states_list, outs_list);
+    outs_list[j] is chain j's out-pytree stacked over frames on axis 0.
+    """
+    k = len(states_list)
+    T = jax.tree.leaves(frames)[0].shape[0]
+    frame0 = jax.tree.map(lambda a: a[0], frames)
+    c0 = p1(states_list[0], frame0, keys_list[0][0])
+
+    def body(carry, xs):
+        c0, rest = carry
+        f_t, f_tp1, k0_tp1, krest_t = xs
+        st0, out0 = p2(c0, f_t)
+        outs = [out0]
+        new_rest = []
+        for j in range(k - 1):
+            cj = p1(rest[j], f_t, krest_t[j])
+            stj, outj = p2(cj, f_t)
+            new_rest.append(stj)
+            outs.append(outj)
+        c0 = p1(st0, f_tp1, k0_tp1)
+        return (c0, tuple(new_rest)), tuple(outs)
+
+    xs = (jax.tree.map(lambda a: a[:T - 1], frames),
+          jax.tree.map(lambda a: a[1:], frames),
+          keys_list[0][1:],
+          tuple(kl[:T - 1] for kl in keys_list[1:]))
+    (c0, rest), scanned = jax.lax.scan(
+        body, (c0, tuple(states_list[1:])), xs)
+
+    # final frame: chain 0 completes T-1 (its phase1 ran in the last
+    # body); chains 1..k-1 run frame T-1 whole.
+    frame_last = jax.tree.map(lambda a: a[T - 1], frames)
+    st0, out0 = p2(c0, frame_last)
+    finals, lasts = [st0], [out0]
+    for j in range(k - 1):
+        cj = p1(rest[j], frame_last, keys_list[j + 1][T - 1])
+        stj, outj = p2(cj, frame_last)
+        finals.append(stj)
+        lasts.append(outj)
+    outs_list = [
+        jax.tree.map(lambda s, l: jnp.concatenate([s, l[None]], axis=0),
+                     scanned[j], lasts[j])
+        for j in range(k)]
+    return finals, outs_list
+
+
+def _chain_slices(tree, chains: int, b: int):
+    """Split the leading batch axis into `chains` equal slices."""
+    return [jax.tree.map(lambda a, j=j: a[j * b:(j + 1) * b], tree)
+            for j in range(chains)]
+
+
 def run_sequence_staggered(states: FilterState, obs_seq: FrameObs,
-                           keys: jax.Array, cfg: EngineConfig):
-    """Batched `run_sequence` with the two batch halves half a frame out
-    of phase. states: leading batch axis (B even); keys: (B,) one per
-    instance (split into per-frame keys exactly as run_sequence does).
-    Returns (final_states, traj (B, T, 13), infos (B, T) fields) — the
-    same values vmap(run_sequence) produces, in the same batch order.
+                           keys: jax.Array, cfg: EngineConfig,
+                           chains: int = 2):
+    """Batched `run_sequence` with the batch split into `chains` slices
+    a phase out of step (software pipelining — staggered_chains_drive).
+    states: leading batch axis (B divisible by chains); keys: (B,) one
+    per instance (split into per-frame keys exactly as run_sequence
+    does). Returns (final_states, traj (B, T, 13), infos (B, T) fields)
+    — the same values vmap(run_sequence) produces, in the same order.
     """
     if not phase_split_supported(cfg):
         raise ValueError("staggered driver requires the default engine "
                          "path (no fused/rows/share_pht/defer/iterated/"
                          "ablate modes)")
     B = states.x.shape[0]
-    assert B % 2 == 0, "staggered driver needs an even batch"
-    half = B // 2
+    assert B % chains == 0, "staggered driver needs B divisible by chains"
+    b = B // chains
     T = obs_seq.pixels.shape[0]
 
     fkeys = jax.vmap(lambda k: jax.random.split(k, T))(keys)   # (B, T)
-    fkA = jnp.swapaxes(fkeys[:half], 0, 1)                     # (T, half)
-    fkB = jnp.swapaxes(fkeys[half:], 0, 1)
+    keys_list = [jnp.swapaxes(fkeys[j * b:(j + 1) * b], 0, 1)  # (T, b)
+                 for j in range(chains)]
+    states_list = _chain_slices(states, chains, b)
 
-    A = jax.tree.map(lambda a: a[:half], states)
-    Bst = jax.tree.map(lambda a: a[half:], states)
+    vp1 = jax.vmap(lambda st, o, k: step_phase1(st, o, k, cfg),
+                   in_axes=(0, None, 0))
+    vp2 = jax.vmap(lambda c, o: step_phase2(c, o, cfg), in_axes=(0, None))
 
-    p1 = jax.vmap(lambda st, o, k: step_phase1(st, o, k, cfg),
-                  in_axes=(0, None, 0))
-    p2 = jax.vmap(lambda c, o: step_phase2(c, o, cfg), in_axes=(0, None))
+    def p2(c, o):
+        st, info = vp2(c, o)
+        return st, (info, st.x[:, :13])
 
-    obs0 = jax.tree.map(lambda a: a[0], obs_seq)
-    cA = p1(A, obs0, fkA[0])
+    finals, outs = staggered_chains_drive(states_list, vp1, p2,
+                                          obs_seq, keys_list)
 
-    def body(carry, xs):
-        cA, stB = carry
-        obs_t, obs_tp1, kA_tp1, kB_t = xs
-        # overlap pair 1: A's update phase ∥ B's gate phase (frame t)
-        stA, infoA = p2(cA, obs_t)
-        cB = p1(stB, obs_t, kB_t)
-        # overlap pair 2: B's update phase ∥ A's gate phase (frame t+1)
-        stB, infoB = p2(cB, obs_t)
-        cA = p1(stA, obs_tp1, kA_tp1)
-        return (cA, stB), (infoA, infoB, stA.x[:, :13], stB.x[:, :13])
+    def _assemble(stacked):
+        # (T, b, ...) -> (b, T, ...)
+        return jnp.swapaxes(stacked, 0, 1)
 
-    xs = (jax.tree.map(lambda a: a[:T - 1], obs_seq),
-          jax.tree.map(lambda a: a[1:], obs_seq),
-          fkA[1:], fkB[:T - 1])
-    (cA, Bst), (infosA, infosB, trA, trB) = jax.lax.scan(
-        body, (cA, Bst), xs)
-
-    # final frame: A completes T-1 (its phase1 ran in the last body);
-    # B runs frame T-1 whole.
-    obs_last = jax.tree.map(lambda a: a[T - 1], obs_seq)
-    A, infoA_last = p2(cA, obs_last)
-    cB = p1(Bst, obs_last, fkB[T - 1])
-    Bst, infoB_last = p2(cB, obs_last)
-
-    def _assemble(scan_part, last_part):
-        # (T-1, half, ...) + (half, ...) -> (half, T, ...)
-        full = jnp.concatenate([scan_part, last_part[None]], axis=0)
-        return jnp.swapaxes(full, 0, 1)
-
-    traj = jnp.concatenate(
-        [_assemble(trA, A.x[:, :13]), _assemble(trB, Bst.x[:, :13])],
-        axis=0)
+    traj = jnp.concatenate([_assemble(o[1]) for o in outs], axis=0)
     infos = jax.tree.map(
-        lambda sa, la, sb, lb: jnp.concatenate(
-            [_assemble(sa, la), _assemble(sb, lb)], axis=0),
-        infosA, infoA_last, infosB, infoB_last)
-    final = jax.tree.map(
-        lambda a, b: jnp.concatenate([a, b], axis=0), A, Bst)
+        lambda *parts: jnp.concatenate([_assemble(p) for p in parts],
+                                       axis=0),
+        *[o[0] for o in outs])
+    final = jax.tree.map(lambda *parts: jnp.concatenate(parts, axis=0),
+                         *finals)
     return final, traj, infos

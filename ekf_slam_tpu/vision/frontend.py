@@ -464,11 +464,13 @@ def step_image_phase2(c: ImagePhase1Carry, img: jnp.ndarray,
 
 def run_images_staggered(states: FilterState, apps: Appearance,
                          imgs: jnp.ndarray, keys: jax.Array,
-                         cfg: EngineConfig):
-    """Batched image-sequence driver with the two batch halves half a
-    frame out of phase. states/apps: leading batch axis (B even);
-    imgs: (T, H, W) shared frames; keys: (B,) one per instance, split
-    into per-frame keys exactly as the step_image scan does. Returns
+                         cfg: EngineConfig, chains: int = 2):
+    """Batched image-sequence driver with the batch split into `chains`
+    slices a phase out of step (engine.staggered_chains_drive — one
+    chain's matcher half schedules against another's update half).
+    states/apps: leading batch axis (B divisible by chains); imgs:
+    (T, H, W) shared frames; keys: (B,) one per instance, split into
+    per-frame keys exactly as the step_image scan does. Returns
     (final_states, final_apps, traj (B, T, 13), infos (B, T) fields).
     """
     # NOTE: engine.phase_split_supported also excludes the fused sim
@@ -480,58 +482,45 @@ def run_images_staggered(states: FilterState, apps: Appearance,
         raise ValueError("staggered image driver requires the default "
                          "engine path")
     B = states.x.shape[0]
-    assert B % 2 == 0, "staggered driver needs an even batch"
-    half = B // 2
+    assert B % chains == 0, "staggered driver needs B divisible by chains"
+    b = B // chains
     T = imgs.shape[0]
 
     fkeys = jax.vmap(lambda k: jax.random.split(k, T))(keys)   # (B, T)
-    fkA = jnp.swapaxes(fkeys[:half], 0, 1)
-    fkB = jnp.swapaxes(fkeys[half:], 0, 1)
+    keys_list = [jnp.swapaxes(fkeys[j * b:(j + 1) * b], 0, 1)
+                 for j in range(chains)]
+    states_list = [
+        (jax.tree.map(lambda a, j=j: a[j * b:(j + 1) * b], states),
+         jax.tree.map(lambda a, j=j: a[j * b:(j + 1) * b], apps))
+        for j in range(chains)]
 
-    A = jax.tree.map(lambda a: a[:half], states)
-    Bst = jax.tree.map(lambda a: a[half:], states)
-    appA = jax.tree.map(lambda a: a[:half], apps)
-    appB = jax.tree.map(lambda a: a[half:], apps)
+    vp1 = jax.vmap(lambda st, ap, im, k: step_image_phase1(st, ap, im, k,
+                                                           cfg),
+                   in_axes=(0, 0, None, 0))
+    vp2 = jax.vmap(lambda c, im: step_image_phase2(c, im, cfg),
+                   in_axes=(0, None))
 
-    p1 = jax.vmap(lambda st, ap, im, k: step_image_phase1(st, ap, im, k,
-                                                          cfg),
-                  in_axes=(0, 0, None, 0))
-    p2 = jax.vmap(lambda c, im: step_image_phase2(c, im, cfg),
-                  in_axes=(0, None))
+    def p1(sa, im, k):
+        return vp1(sa[0], sa[1], im, k)
 
-    cA = p1(A, appA, imgs[0], fkA[0])
+    def p2(c, im):
+        st, app, info = vp2(c, im)
+        return (st, app), (info, st.x[:, :13])
 
-    def body(carry, xs):
-        cA, stB, appB = carry
-        img_t, img_tp1, kA_tp1, kB_t = xs
-        stA, appA, infoA = p2(cA, img_t)
-        cB = p1(stB, appB, img_t, kB_t)
-        stB, appB, infoB = p2(cB, img_t)
-        cA = p1(stA, appA, img_tp1, kA_tp1)
-        return (cA, stB, appB), (infoA, infoB,
-                                 stA.x[:, :13], stB.x[:, :13])
+    finals, outs = engine.staggered_chains_drive(states_list, p1, p2,
+                                                 imgs, keys_list)
 
-    xs = (imgs[:T - 1], imgs[1:], fkA[1:], fkB[:T - 1])
-    (cA, Bst, appB), (infosA, infosB, trA, trB) = jax.lax.scan(
-        body, (cA, Bst, appB), xs)
+    def _assemble(stacked):
+        return jnp.swapaxes(stacked, 0, 1)
 
-    A, appA, infoA_last = p2(cA, imgs[T - 1])
-    cB = p1(Bst, appB, imgs[T - 1], fkB[T - 1])
-    Bst, appB, infoB_last = p2(cB, imgs[T - 1])
-
-    def _assemble(scan_part, last_part):
-        full = jnp.concatenate([scan_part, last_part[None]], axis=0)
-        return jnp.swapaxes(full, 0, 1)
-
-    traj = jnp.concatenate(
-        [_assemble(trA, A.x[:, :13]), _assemble(trB, Bst.x[:, :13])],
-        axis=0)
+    traj = jnp.concatenate([_assemble(o[1]) for o in outs], axis=0)
     infos = jax.tree.map(
-        lambda sa, la, sb, lb: jnp.concatenate(
-            [_assemble(sa, la), _assemble(sb, lb)], axis=0),
-        infosA, infoA_last, infosB, infoB_last)
-    final = jax.tree.map(
-        lambda a, b: jnp.concatenate([a, b], axis=0), A, Bst)
-    final_apps = jax.tree.map(
-        lambda a, b: jnp.concatenate([a, b], axis=0), appA, appB)
+        lambda *parts: jnp.concatenate([_assemble(p) for p in parts],
+                                       axis=0),
+        *[o[0] for o in outs])
+    final = jax.tree.map(lambda *parts: jnp.concatenate(parts, axis=0),
+                         *[sa[0] for sa in finals])
+    final_apps = jax.tree.map(lambda *parts: jnp.concatenate(parts,
+                                                             axis=0),
+                              *[sa[1] for sa in finals])
     return final, final_apps, traj, infos

@@ -185,13 +185,14 @@ def test_deferred_update_matches_sequential():
     np.testing.assert_allclose(outs[True][1], outs[False][1], atol=1e-9)
 
 
-def test_staggered_driver_bit_equals_run_sequence():
-    """run_sequence_staggered (the software-pipelined two-half driver)
+@pytest.mark.parametrize("chains", [2, 3])
+def test_staggered_driver_bit_equals_run_sequence(chains):
+    """run_sequence_staggered (the software-pipelined k-chain driver)
     reproduces vmap(run_sequence) exactly: same per-instance math, same
     key schedule, only the program's instruction-level parallelism
     differs."""
     cfg = small_cfg()
-    B, T = 4, 6
+    B, T = 6, 6
     scn, xs, obs = sim_scene.simulate(jax.random.key(11), cfg, T)
     st = init_state(cfg)
     st = engine.bootstrap(st, jax.tree.map(lambda a: a[0], obs), cfg)
@@ -202,8 +203,9 @@ def test_staggered_driver_bit_equals_run_sequence():
         lambda s, k: engine.run_sequence(s, obs, k, cfg)))
     ref_final, ref_traj, ref_infos = ref_run(st_b, keys)
 
-    stag = jax.jit(engine.run_sequence_staggered, static_argnames="cfg")
-    final, traj, infos = stag(st_b, obs, keys, cfg)
+    stag = jax.jit(engine.run_sequence_staggered,
+                   static_argnames=("cfg", "chains"))
+    final, traj, infos = stag(st_b, obs, keys, cfg, chains=chains)
 
     np.testing.assert_array_equal(np.asarray(traj), np.asarray(ref_traj))
     np.testing.assert_array_equal(np.asarray(final.x),

@@ -518,9 +518,10 @@ def test_describe_regions_flat_form_equivalent():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("matcher", ["ncc", "descriptor"])
-def test_staggered_image_driver_bit_equals_step_image(matcher):
-    """frontend.run_images_staggered (the software-pipelined two-half
+@pytest.mark.parametrize("matcher,chains", [("ncc", 2), ("descriptor", 2),
+                                            ("descriptor", 4)])
+def test_staggered_image_driver_bit_equals_step_image(matcher, chains):
+    """frontend.run_images_staggered (the software-pipelined k-chain
     driver) reproduces the per-instance step_image scan exactly — same
     math and key schedule, different instruction-level parallelism."""
     cfg = EngineConfig(
@@ -557,8 +558,10 @@ def test_staggered_image_driver_bit_equals_step_image(matcher):
 
     ref_st, ref_app, ref_traj, ref_infos = ref_run(st_b, app_b, keys)
 
-    stag = jax.jit(frontend.run_images_staggered, static_argnames="cfg")
-    fin, fapp, traj, infos = stag(st_b, app_b, imgs, keys, cfg)
+    stag = jax.jit(frontend.run_images_staggered,
+                   static_argnames=("cfg", "chains"))
+    fin, fapp, traj, infos = stag(st_b, app_b, imgs, keys, cfg,
+                                  chains=chains)
 
     np.testing.assert_array_equal(np.asarray(traj), np.asarray(ref_traj))
     np.testing.assert_array_equal(np.asarray(fin.x), np.asarray(ref_st.x))
