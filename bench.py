@@ -38,11 +38,11 @@ FRAMES = int(os.environ.get("BENCH_FRAMES", "16"))  # frames per timed run
 TARGET = 10_000.0  # steps/sec/chip (BASELINE.json north star)
 
 
-def _stagger_chains() -> int:
+def _stagger_chains(default: str = "0") -> int:
     """BENCH_STAGGER: 0 = plain vmap driver; 1 = the original two-half
     software-pipelined driver (legacy spelling); k>=2 = k chains of
     BATCH/k each (engine.staggered_chains_drive)."""
-    v = int(os.environ.get("BENCH_STAGGER", "0"))
+    v = int(os.environ.get("BENCH_STAGGER", default))
     return 2 if v == 1 else v
 
 
@@ -55,7 +55,16 @@ def main_pixels():
     from ekf_slam_tpu.config import VisionConfig
     from ekf_slam_tpu.vision import frontend
 
-    b = int(os.environ.get("BENCH_PIXB", "32"))
+    # Pixels defaults = the measured round-2 optimum per matcher.
+    # descriptor (engine default): four 16-chains, software-pipelined
+    # (2,535.1 vs 2,324.6 unstaggered; r2q/r2r queues) — the 8-chain
+    # (2,331.0) and PIXB=128 variants lose (total batch past the
+    # image-path knee). ncc: unstaggered PIXB=32 (2,585.9; stagger=4
+    # at PIXB=64 measured 2,082.9 in r2r). Env vars override both.
+    matcher = os.environ.get("BENCH_MATCHER", "descriptor")
+    pixb_dflt, stag_dflt = ("64", "4") if matcher == "descriptor" \
+        else ("32", "0")
+    b = int(os.environ.get("BENCH_PIXB", pixb_dflt))
     cap = int(os.environ.get("BENCH_CAP", "100"))
     cfg = EngineConfig(
         filter=FilterConfig(gain_solver=os.environ.get("BENCH_GAIN",
@@ -63,7 +72,7 @@ def main_pixels():
         map=MapConfig(capacity=cap, min_features_in_image=25,
                       max_new_per_step=10, max_update_obs=64),
         vision=VisionConfig(
-            matcher=os.environ.get("BENCH_MATCHER", "descriptor"),
+            matcher=matcher,
             search_radius=int(os.environ.get("BENCH_R", "12")),
             corners_per_window=int(os.environ.get("BENCH_C", "8")),
             warp_distortion=os.environ.get("BENCH_WARPDIST", "affine")),
@@ -83,7 +92,7 @@ def main_pixels():
     # (phase 1) of one chain schedules against the updates (phase 2) of
     # another; bit-identical per-instance math (tests/test_vision.py).
     # "1" = the original two-half driver; k>=2 = k chains of b/k.
-    chains = _stagger_chains()
+    chains = _stagger_chains(default=stag_dflt)
 
     @jax.jit
     def run(states, apps, ks):
