@@ -61,10 +61,25 @@ def main_pixels():
     # (2,331.0) and PIXB=128 variants lose (total batch past the
     # image-path knee). ncc: unstaggered PIXB=32 (2,585.9; stagger=4
     # at PIXB=64 measured 2,082.9 in r2r). Env vars override both.
+    # Attribution knobs (EKF_ABLATE / EKF_DEFER / EKF_UPDATE=rows) are
+    # not phase-splittable: the stagger DEFAULT falls back to the plain
+    # vmap driver for them (an explicit BENCH_STAGGER still errors).
     matcher = os.environ.get("BENCH_MATCHER", "descriptor")
-    pixb_dflt, stag_dflt = ("64", "4") if matcher == "descriptor" \
-        else ("32", "0")
+    stag_dflt = "4" if matcher == "descriptor" else "0"
+    if stag_dflt != "0" and not frontend.image_phase_split_supported(
+            EngineConfig()):
+        stag_dflt = "0"
+    chains = _stagger_chains(default=stag_dflt)
+    # PIXB default follows the RESOLVED chain count: 16 per chain at the
+    # staggered optimum, 32 unstaggered (the image-path batch knee) —
+    # so BENCH_STAGGER=0 with the descriptor matcher benches the
+    # measured unstaggered optimum, not a stale coupled default.
+    pixb_dflt = str(16 * chains) if chains >= 2 else "32"
     b = int(os.environ.get("BENCH_PIXB", pixb_dflt))
+    if chains and b % chains:
+        sys.exit(f"BENCH_PIXB={b} is not divisible by the stagger chain "
+                 f"count {chains} — set BENCH_PIXB to a multiple of "
+                 f"BENCH_STAGGER (or BENCH_STAGGER=0)")
     cap = int(os.environ.get("BENCH_CAP", "100"))
     cfg = EngineConfig(
         filter=FilterConfig(gain_solver=os.environ.get("BENCH_GAIN",
@@ -88,11 +103,11 @@ def main_pixels():
     app_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (b,) + a.shape),
                          app0)
 
-    # BENCH_STAGGER=k: software-pipelined k-chain driver — the matcher
-    # (phase 1) of one chain schedules against the updates (phase 2) of
-    # another; bit-identical per-instance math (tests/test_vision.py).
-    # "1" = the original two-half driver; k>=2 = k chains of b/k.
-    chains = _stagger_chains(default=stag_dflt)
+    # BENCH_STAGGER=k (resolved above): software-pipelined k-chain driver
+    # — the matcher (phase 1) of one chain schedules against the updates
+    # (phase 2) of another; bit-identical per-instance math
+    # (tests/test_vision.py). "1" = the original two-half driver;
+    # k>=2 = k chains of b/k.
 
     @jax.jit
     def run(states, apps, ks):

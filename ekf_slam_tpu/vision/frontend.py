@@ -462,6 +462,19 @@ def step_image_phase2(c: ImagePhase1Carry, img: jnp.ndarray,
     return state, app, info
 
 
+def image_phase_split_supported(cfg: EngineConfig) -> bool:
+    """Whether run_images_staggered's two-phase split covers this
+    configuration. engine.phase_split_supported also excludes the fused
+    sim kernels, which step_image never routes through — this checks
+    only the conditions that apply to the image path. Drivers (bench.py)
+    use it to fall back to the plain vmap driver instead of tripping the
+    ValueError below when attribution knobs (EKF_ABLATE / EKF_DEFER /
+    EKF_UPDATE=rows) are set."""
+    return not (cfg.filter.share_pht or cfg.filter.use_iterated_update
+                or engine._DEFER or engine._ABLATE or ekf._ABLATE
+                or ekf._UPDATE == "rows")
+
+
 def run_images_staggered(states: FilterState, apps: Appearance,
                          imgs: jnp.ndarray, keys: jax.Array,
                          cfg: EngineConfig, chains: int = 2):
@@ -473,12 +486,7 @@ def run_images_staggered(states: FilterState, apps: Appearance,
     per-frame keys exactly as the step_image scan does. Returns
     (final_states, final_apps, traj (B, T, 13), infos (B, T) fields).
     """
-    # NOTE: engine.phase_split_supported also excludes the fused sim
-    # kernels, which step_image never routes through — check only the
-    # conditions that apply to the image path.
-    if (cfg.filter.share_pht or cfg.filter.use_iterated_update
-            or engine._DEFER or engine._ABLATE or ekf._ABLATE
-            or ekf._UPDATE == "rows"):
+    if not image_phase_split_supported(cfg):
         raise ValueError("staggered image driver requires the default "
                          "engine path")
     B = states.x.shape[0]

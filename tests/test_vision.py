@@ -523,7 +523,15 @@ def test_describe_regions_flat_form_equivalent():
 def test_staggered_image_driver_bit_equals_step_image(matcher, chains):
     """frontend.run_images_staggered (the software-pipelined k-chain
     driver) reproduces the per-instance step_image scan exactly — same
-    math and key schedule, different instruction-level parallelism."""
+    math and key schedule, different instruction-level parallelism.
+
+    Bit-equality requires chain size >= 2: a chain of ONE instance
+    lowers its batched dots to different (non-batched) kernels with a
+    different accumulation order, so floats drift by ~1 ulp while every
+    DECISION stays identical — that edge is pinned separately by
+    test_staggered_chain_size1_decisions. The bench always runs chain
+    sizes >= 2 (bench.py validates BENCH_PIXB % chains == 0 with
+    PIXB >= 16*chains defaults)."""
     cfg = EngineConfig(
         map=MapConfig(capacity=24, min_features_in_image=10,
                       max_new_per_step=10),
@@ -532,7 +540,7 @@ def test_staggered_image_driver_bit_equals_step_image(matcher, chains):
         sim=SimConfig(num_landmarks=40, depth_min=2.0, depth_max=6.0,
                       v_init=(0.002, 0.0, 0.004), w_init=(0.0, 0.001, 0.0),
                       traj_accel_std=2e-4, traj_alpha_std=2e-4))
-    B, T = 4, 5
+    B, T = 2 * chains, 5
     scn, xs, _ = sim_scene.simulate(jax.random.key(0), cfg, T)
     render = jax.jit(frontend.render_scene_image, static_argnames="cfg")
     imgs = jnp.stack([render(scn, xs[t], cfg) for t in range(T)])
@@ -568,6 +576,57 @@ def test_staggered_image_driver_bit_equals_step_image(matcher, chains):
     np.testing.assert_array_equal(np.asarray(fin.P), np.asarray(ref_st.P))
     np.testing.assert_array_equal(np.asarray(fapp.patches),
                                   np.asarray(ref_app.patches))
+    for f in ("n_visible", "n_ic", "n_li", "n_hi", "ransac_support"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(infos, f)),
+            np.asarray(getattr(ref_infos, f)), err_msg=f)
+
+
+@pytest.mark.slow
+def test_staggered_chain_size1_decisions():
+    """Chain size 1 (B == chains): batch-1 chains lower batched dots to
+    different kernels (different accumulation order), so floats drift at
+    the ~1-ulp level — but every integer DECISION (gates, matches,
+    RANSAC support) must be identical and the trajectories must agree to
+    float32 rounding."""
+    cfg = EngineConfig(
+        map=MapConfig(capacity=24, min_features_in_image=10,
+                      max_new_per_step=10),
+        vision=VisionConfig(search_radius=10, min_ncc=0.4,
+                            matcher="descriptor", max_hamming=80.0),
+        sim=SimConfig(num_landmarks=40, depth_min=2.0, depth_max=6.0,
+                      v_init=(0.002, 0.0, 0.004), w_init=(0.0, 0.001, 0.0),
+                      traj_accel_std=2e-4, traj_alpha_std=2e-4))
+    B, T = 2, 4
+    scn, xs, _ = sim_scene.simulate(jax.random.key(0), cfg, T)
+    render = jax.jit(frontend.render_scene_image, static_argnames="cfg")
+    imgs = jnp.stack([render(scn, xs[t], cfg) for t in range(T)])
+    st = init_state(cfg)
+    app = frontend.init_appearance(cfg)
+    st_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), st)
+    app_b = jax.tree.map(lambda a: jnp.broadcast_to(a, (B,) + a.shape), app)
+    keys = jax.random.split(jax.random.key(7), B)
+
+    @jax.jit
+    def ref_run(states, apps, ks):
+        def one(s, a, k):
+            def body(carry, inp):
+                s, a = carry
+                img, kk = inp
+                s, a, info = frontend.step_image(s, a, img, kk, cfg)
+                return (s, a), (s.x[:13], info)
+            (s, a), (traj, infos) = jax.lax.scan(
+                body, (s, a), (imgs, jax.random.split(k, T)))
+            return s, a, traj, infos
+        return jax.vmap(one)(states, apps, ks)
+
+    ref_st, ref_app, ref_traj, ref_infos = ref_run(st_b, app_b, keys)
+    stag = jax.jit(frontend.run_images_staggered,
+                   static_argnames=("cfg", "chains"))
+    fin, fapp, traj, infos = stag(st_b, app_b, imgs, keys, cfg, chains=B)
+
+    np.testing.assert_allclose(np.asarray(traj), np.asarray(ref_traj),
+                               rtol=0, atol=1e-5)
     for f in ("n_visible", "n_ic", "n_li", "n_hi", "ransac_support"):
         np.testing.assert_array_equal(
             np.asarray(getattr(infos, f)),
