@@ -1,14 +1,19 @@
-"""COCO-Stuff adapter (gated on pycocotools, which is not bundled).
+"""COCO-Stuff adapter.
 
 The reference's dataset builder loads COCO-Stuff annotations through the
 Matterport Mask-RCNN CocoDataset ("CALC 2.0"/dataset/coco.py:60-199 —
 itself gated on an external `mrcnn` checkout, SURVEY.md §2.9) and converts
 92 stuff classes to the 13 CALC classes (gen_tfrecords.py:102). This module
-provides the same pipeline against plain pycocotools: iterate
-(image, calc-mask) pairs sized for training, feeding data/records.py's
-`write_shards`.
+provides the same pipeline: iterate (image, calc-mask) pairs sized for
+training, feeding data/records.py's `write_shards`. Annotations are read
+through pycocotools when it is installed, otherwise through the bundled
+pure-Python reader (data/coco_min.py — same index API, same RLE codecs;
+polygon EDGE pixels may differ from pycocotools' rasterizer). The full
+chain coco_pairs -> write_shards -> ShardReader -> train_step is
+exercised against an in-test miniature COCO-Stuff fixture
+(tests/test_coco_fixture.py).
 
-Usage (requires pycocotools + a COCO-Stuff download):
+Usage (with a COCO-Stuff download):
 
     from ekf_slam_tpu.data.coco import coco_pairs
     from ekf_slam_tpu.data.records import write_shards
@@ -24,15 +29,15 @@ import numpy as np
 from ekf_slam_tpu.data.classes import coco_to_calc_lut
 
 
-def _require_pycocotools():
+def _coco_backend():
+    """pycocotools' COCO when installed (exact polygon rasterization),
+    else the bundled pure-Python MiniCOCO (data/coco_min.py)."""
     try:
         from pycocotools.coco import COCO  # noqa: F401
-        return COCO
-    except ImportError as e:  # pragma: no cover
-        raise ImportError(
-            "pycocotools is required for the COCO-Stuff adapter; it is not "
-            "bundled in this image. Use data/synthetic.py or pre-built "
-            "shards (data/records.py) instead.") from e
+        return COCO  # pragma: no cover - image has no pycocotools
+    except ImportError:
+        from ekf_slam_tpu.data.coco_min import MiniCOCO
+        return MiniCOCO
 
 
 def coco_pairs(ann_json: str, image_dir: str,
@@ -48,7 +53,7 @@ def coco_pairs(ann_json: str, image_dir: str,
 
     from PIL import Image
 
-    COCO = _require_pycocotools()
+    COCO = _coco_backend()
     coco = COCO(ann_json)
     lut = coco_to_calc_lut()
     h_out, w_out = size
