@@ -48,6 +48,19 @@ import os
 _MGROWS = os.environ.get("EKF_MGROWS", "slotdot")
 _MGROWS_OVERRIDE = [None]
 
+# Conversion rho-variance extraction form (A/B knob): "gather" is the
+# 2-D-index diagonal gather P[rho_dims, rho_dims] — under vmap it
+# relayouts ALL of P to a batch-minor {0,2,1} copy (~2.6M estimated
+# cycles on the f32 program, r3b HLO dump) that also feeds the slotdot
+# slice; "rows" reads the CAP rho rows as a static strided slice of the
+# natural-layout map block and selects the diagonal column with a
+# constant one-hot mask reduce — no batch gather, no relayout. Exact
+# either way (the mask is exact 0/1). A lone strided-slice rewrite lost
+# in r2f (5.9M cycles) BECAUSE the batch-minor copy stayed alive for the
+# slot-row extraction; "rows" + EKF_MGROWS=rowsel removes every
+# batch-minor consumer of P in the conversion path.
+_RHOVAR = os.environ.get("EKF_RHOVAR", "gather")
+
 
 class mgrows_override:
     """Context manager pinning the conversion row-extraction form while
@@ -483,12 +496,19 @@ def _convert_params(state: FilterState, cfg: EngineConfig,
     y3, theta, phi, rho = slots[:, 0:3], slots[:, 3], slots[:, 4], slots[:, 5]
     idx = jnp.arange(cap)
     rho_dims = CAM_DIM + 6 * idx + 5
-    # 2-D-index diagonal gather. It relayouts P to a batch-minor copy
-    # under vmap (~5.2M estimated cycles, r2d HLO dump), but the
-    # measured alternative — strided rho-row slice + one-hot column
-    # select fused into a reduce — was WORSE (5.9M, r2f dump): the
-    # reduce re-reads the sliced rows per output column.
-    rho_var = state.P[rho_dims, rho_dims].astype(dtype) * ks[rho_dims]
+    # Extraction form: see _RHOVAR. The 2-D-index diagonal gather
+    # relayouts P to a batch-minor copy under vmap (~5.2M estimated
+    # cycles, r2d HLO dump); a LONE strided-slice rewrite measured worse
+    # in r2f because that copy stayed alive for the slot-row slice —
+    # "rows" is only expected to win combined with EKF_MGROWS=rowsel.
+    if _RHOVAR == "rows":
+        rho_rows = state.P[CAM_DIM + 5:CAM_DIM + 6 * cap:6, :]  # (CAP, D)
+        sel = (jnp.arange(state.P.shape[0])[None, :]
+               == rho_dims[:, None]).astype(state.P.dtype)
+        rho_var = (jnp.sum(rho_rows * sel, axis=-1).astype(dtype)
+                   * ks[rho_dims])
+    else:
+        rho_var = state.P[rho_dims, rho_dims].astype(dtype) * ks[rho_dims]
     # Guard rho==0 on inactive slots.
     safe_rho = jnp.where(rho == 0, jnp.ones_like(rho), rho)
     std_d = jnp.sqrt(jnp.maximum(rho_var, 0.0)) / safe_rho**2

@@ -211,8 +211,18 @@ class VSS(nn.Module):
         eps = jax.random.normal(rng, mu.shape, jnp.float32)
         z = mu + jnp.sqrt(jnp.exp(log_sig_sq)) * eps
 
-        # Reorder z so group i of the grouped decoder sees z[..., 4i:4i+4]
-        # (the reference slices z per tower, calc2.py:219).
+        # DOCUMENTED DEVIATION (latent slicing): the reference slices z
+        # OVERLAPPINGLY — tower i reads z[:,:,:,i:(i+4)] for i in 0..13
+        # (calc2.py:219), so all 14 towers share channels 0..16 and
+        # latent channels 17..55 are DEAD (never decoded, trained only
+        # through the KL term). Like the keypoint off-by-cell fix
+        # (models/keypoints.py:17-20), this looks like an indexing bug —
+        # the evident intent of a 4*heads-channel latent is one disjoint
+        # 4-channel slice per tower, which is what the grouped decoder
+        # implements: group i sees z[..., 4i:4i+4], every latent channel
+        # is decoded, and no tower shares latent capacity.
+        # tests/test_models.py::test_decoder_group_isolation pins the
+        # disjoint routing.
         rec, seg = Decoder(c)(z.astype(jnp.dtype(c.compute_dtype)), train)
         return {"descriptor": descr, "mu": mu, "log_sig_sq": log_sig_sq,
                 "rec": rec, "seg": seg, "z": z, "c5": c5}

@@ -503,3 +503,42 @@ def test_jacobian_chain_forms_bit_identical(monkeypatch):
                                   np.asarray(outs["fused"][0]))
     np.testing.assert_array_equal(np.asarray(outs["chain3"][1]),
                                   np.asarray(outs["fused"][1]))
+
+
+def test_rhovar_rows_form_bit_equals_gather(monkeypatch):
+    """Conversion rho-variance extraction: the natural-layout strided-
+    rows + constant-mask form (EKF_RHOVAR=rows) must reproduce the
+    2-D-index diagonal gather bit-exactly (both are exact selections of
+    the same P elements), with and without an eligible conversion."""
+    from ekf_slam_tpu.config import EngineConfig, MapConfig
+    from ekf_slam_tpu.filter import mapman
+    from ekf_slam_tpu.filter.state import init_state
+
+    for thresh, key in ((1e9, 0), (1e-12, 1)):   # always / never eligible
+        cfg = EngineConfig(map=MapConfig(capacity=8,
+                                         linearity_threshold=thresh),
+                           dtype="float64")
+        st = init_state(cfg)
+        uvd = jax.random.uniform(jax.random.key(key), (5, 2),
+                                 minval=60.0, maxval=180.0,
+                                 dtype=jnp.float64)
+        st, _ = mapman.add_features_batch(
+            st, uvd, jnp.ones(5, bool), jnp.arange(5, dtype=jnp.int32),
+            cfg)
+        # de-trivialize P so the extracted variances differ per slot
+        D = st.P.shape[0]
+        bump = 0.1 * jax.random.uniform(jax.random.key(7), (D,),
+                                        dtype=jnp.float64)
+        st = st.replace(P=st.P + jnp.diag(bump))
+
+        monkeypatch.setattr(mapman, "_RHOVAR", "gather")
+        ref = mapman.convert_to_cartesian(st, cfg)
+        monkeypatch.setattr(mapman, "_RHOVAR", "rows")
+        out = mapman.convert_to_cartesian(st, cfg)
+        # the permissive threshold must actually exercise a conversion
+        assert bool(jnp.any(ref.cartesian)) == (thresh > 1.0)
+
+        np.testing.assert_array_equal(np.asarray(ref.x), np.asarray(out.x))
+        np.testing.assert_array_equal(np.asarray(ref.P), np.asarray(out.P))
+        np.testing.assert_array_equal(np.asarray(ref.cartesian),
+                                      np.asarray(out.cartesian))

@@ -160,3 +160,40 @@ def test_fit_and_checkpoint_sweep(tmp_path):
         str(tmp_path), template, lambda s: float(s.step))
     assert path.endswith("0000004")
     assert score == 4.0
+
+
+def test_decoder_group_isolation():
+    """The grouped decoder routes DISJOINT latent slices: tower i's
+    output depends only on z[..., 4i:4i+4]. This is the documented
+    deviation from the reference's overlapping z[:,:,:,i:i+4] slicing
+    (calc2.py:219 — towers share channels 0..16, channels 17..55 dead);
+    see models/vss.py for the rationale."""
+    from ekf_slam_tpu.models.vss import Decoder, VSSConfig
+
+    cfg = VSSConfig(width=4)
+    dec = Decoder(cfg)
+    rng = jax.random.key(0)
+    z = jax.random.normal(jax.random.key(1), (1, 4, 4, 4 * cfg.heads))
+    variables = dec.init(rng, z, train=False)
+
+    rec0, seg0 = dec.apply(variables, z, train=False)
+
+    # Perturb ONLY group 3's latent slice (a seg tower): rec (group 0)
+    # and every other seg channel must be bit-identical; seg channel 2
+    # (tower 3 = seg index 2) must change.
+    z2 = z.at[..., 12:16].add(1.0)
+    rec1, seg1 = dec.apply(variables, z2, train=False)
+    np.testing.assert_array_equal(np.asarray(rec0), np.asarray(rec1))
+    assert not np.array_equal(np.asarray(seg0[..., 2]),
+                              np.asarray(seg1[..., 2]))
+    for ch in range(13):
+        if ch == 2:
+            continue
+        np.testing.assert_array_equal(np.asarray(seg0[..., ch]),
+                                      np.asarray(seg1[..., ch]))
+
+    # Perturb group 0 (the reconstruction tower): seg untouched.
+    z3 = z.at[..., 0:4].add(1.0)
+    rec2, seg2 = dec.apply(variables, z3, train=False)
+    np.testing.assert_array_equal(np.asarray(seg0), np.asarray(seg2))
+    assert not np.array_equal(np.asarray(rec0), np.asarray(rec2))
