@@ -108,3 +108,29 @@ def class_weights(labels_onehot: jnp.ndarray) -> jnp.ndarray:
     gen_tfrecords.py:104-105,162-167 collapsed to one batch."""
     freq = jnp.mean(labels_onehot, axis=(0, 1, 2))
     return 1.0 / jnp.maximum(freq, 1e-3)
+
+
+def aliased_batches(key: jax.Array, batch: int, group: int = 4,
+                    hw=(192, 256), **alias_kwargs):
+    """Infinite generator of archetype-GROUPED training batches:
+    (images, labels_onehot) with each batch drawn as `batch // group`
+    fresh archetypes x `group` sibling places (aliased_places), ordered
+    archetype-major.
+
+    Purpose: make in-batch hard-negative mining (models/losses.py
+    hard_negative_mine, the utils.py:278-307 analog) actually SEE
+    near-duplicate impostors. Training on independent scenes
+    (synthetic_batch) leaves the hardest in-batch negative far away, so
+    the triplet term never exercises sibling separation — the measured
+    round-2 regression where training made plain retrieval WORSE under
+    perceptual aliasing (docs/CALC2_RUN.md r2run4: PR-AUC 0.716
+    untrained -> 0.688 trained at aliasing=4). With grouped batches the
+    hardest negative is almost always a same-archetype sibling, and the
+    margin objective optimizes exactly the aliased-retrieval criterion.
+    """
+    assert batch % group == 0, (batch, group)
+    while True:
+        key, sub = jax.random.split(key)
+        imgs, labels, _ = aliased_places(sub, batch, group=group, hw=hw,
+                                         **alias_kwargs)
+        yield imgs, labels

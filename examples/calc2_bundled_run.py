@@ -119,6 +119,14 @@ def main():
                     help="comma list of aliasing group sizes to re-eval "
                          "the trained model at (difficulty curve), e.g. "
                          "'2,4,8,16'")
+    ap.add_argument("--train-aliasing", type=int, default=0,
+                    help="train on archetype-GROUPED batches of this "
+                         "group size (data/synthetic.aliased_batches) so "
+                         "in-batch hard-negative mining sees aliased "
+                         "siblings — the fix for the r2run4 regression "
+                         "where independent-scene training made plain "
+                         "retrieval worse under aliasing (0 = off, "
+                         "train on independent-scene shards)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -136,7 +144,8 @@ def main():
     hw = tuple(args.hw)
     data_dir = os.path.join(args.out, "shards")
     t0 = time.time()
-    if not os.path.exists(os.path.join(data_dir, "loss_weights.txt")):
+    if not args.train_aliasing and not os.path.exists(
+            os.path.join(data_dir, "loss_weights.txt")):
         n_shards = build_shards(data_dir, args.images, hw)
         print(f"wrote {n_shards} shards ({args.images} images) "
               f"in {time.time()-t0:.0f}s")
@@ -157,9 +166,18 @@ def main():
         if n_dev > 1 and args.batch % n_dev == 0 else None
     logger = MetricsLogger()
     t0 = time.time()
+    if args.train_aliasing:
+        from ekf_slam_tpu.data import aliased_batches
+        batches = aliased_batches(jax.random.key(99), args.batch,
+                                  group=args.train_aliasing, hw=hw)
+        fit_data_dir = None     # per-batch class-weight estimation
+    else:
+        batches = ShardReader(data_dir, args.batch)
+        fit_data_dir = data_dir
     state, metrics = train.fit(
-        model, tcfg, ShardReader(data_dir, args.batch), args.steps,
-        mesh=mesh, ckpt_dir=args.out, logger=logger, data_dir=data_dir)
+        model, tcfg, batches, args.steps,
+        mesh=mesh, ckpt_dir=args.out, logger=logger,
+        data_dir=fit_data_dir)
     train_s = time.time() - t0
     logger.dump_jsonl(os.path.join(args.out, "train_metrics.jsonl"))
     print(logger.table(last_n=3))
@@ -297,9 +315,11 @@ def main():
         "loop_sim_threshold": thr,
         "eval_severity": args.eval_severity,
         "aliasing": args.aliasing,
+        "train_aliasing": args.train_aliasing,
         "aliasing_sweep": sweep_rows,
         "train_steps_per_s": args.steps / max(train_s, 1e-9),
-        "class_weights": load_weights(data_dir).tolist(),
+        "class_weights": (load_weights(data_dir).tolist()
+                          if not args.train_aliasing else None),
     }
     for k in ("true_revisit_p50", "aliased_impostor_p50",
               "aliased_impostor_p99", "cross_arch_impostor_p99"):
