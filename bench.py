@@ -275,12 +275,18 @@ def main():
         # ...and a benchmark of a filter that lost the trajectory is not
         # one either: the fast mode (bf16-P storage + 3-pass f32-emulated
         # dots) must still TRACK — mean position error against the
-        # simulation's ground truth bounded well below the scene scale
-        # (f32 parity config measures ~0.05-0.25 on this scenario;
-        # divergence is >1).
+        # simulation's ground truth bounded well below the scene scale.
+        # Band derived from the r3 drift measurement at this exact
+        # operating point (tools/measure_pstore_drift.py, docs/BENCH.md
+        # r3): fast mode (bf16-P + tf32) measures 0.0988 mean position
+        # error over 256 instances, parity mode (f32-P) 0.0883 — the
+        # gate is 2x the fast-mode measurement; divergence is >1.
         err = float(jnp.mean(jnp.linalg.norm(
             traj[..., 0:3] - xs[None, :, 0:3], axis=-1)))
-        assert err < 0.5, f"trajectory error {err:.3f} — not tracking"
+        print(f"sim tracking err: {err:.4f}", file=sys.stderr)
+        assert err < 0.2, (
+            f"trajectory error {err:.3f} — outside the measured "
+            f"fast-mode band (0.099 ± margin, docs/BENCH.md r3)")
 
     steps_per_sec = BATCH * FRAMES * n_rep / dt
     print(json.dumps({

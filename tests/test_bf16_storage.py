@@ -9,6 +9,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ekf_slam_tpu.config import EngineConfig, FilterConfig, MapConfig, SimConfig
 from ekf_slam_tpu.filter import engine
@@ -87,3 +88,35 @@ def test_tail16_single_pass_contract(monkeypatch):
     assert err16.mean() < max(4.0 * err32.mean(), 0.15)
     diag = np.asarray(jnp.diagonal(final16.P.astype(jnp.float32)))
     assert (diag >= -1e-3).all()
+
+
+@pytest.mark.slow
+def test_bf16_drift_band_headline_shape():
+    """Regression pin for the r3 drift measurement (docs/BENCH.md r3,
+    tools/measure_pstore_drift.py): at the HEADLINE bench shape
+    (CAP=100, M=24, NHYP=64, 16 frames — single instance on CPU), the
+    bf16-P fast mode must stay inside the measured accuracy band: mean
+    position error under the 0.2 bench gate and within 2.5x of the f32
+    parity run on the same scenario (TPU-measured deltas: 0.0988 vs
+    0.0883 over 256 instances)."""
+    from ekf_slam_tpu.config import MapConfig, RansacConfig
+
+    def cfg(p_storage):
+        return EngineConfig(
+            filter=FilterConfig(gain_solver="newton", p_storage=p_storage),
+            map=MapConfig(capacity=100, min_features_in_image=25,
+                          max_new_per_step=10, max_update_obs=24),
+            ransac=RansacConfig(num_hypotheses=64),
+            sim=SimConfig(num_landmarks=128),
+            dtype="float32")
+
+    xs16, _, traj16, _ = _run(cfg("bf16"), frames=16)
+    xs32, _, traj32, _ = _run(cfg("f32"), frames=16)
+    err16 = np.linalg.norm(np.asarray(traj16[:, :3] - xs16[:, :3]),
+                           axis=-1).mean()
+    err32 = np.linalg.norm(np.asarray(traj32[:, :3] - xs32[:, :3]),
+                           axis=-1).mean()
+    assert np.isfinite(err16) and np.isfinite(err32)
+    assert err32 < 0.2, f"f32 parity run not tracking: {err32:.4f}"
+    assert err16 < 0.2, f"bf16 fast mode outside bench gate: {err16:.4f}"
+    assert err16 < 2.5 * max(err32, 0.02), (err16, err32)
