@@ -140,3 +140,53 @@ class ShardReader:
         finally:
             stop.set()
             t.join(timeout=5.0)
+
+
+def write_val_shards(out_dir: str,
+                     examples: Iterator[Tuple[np.ndarray, np.ndarray,
+                                              np.ndarray, np.ndarray]],
+                     shard_size: int = 256) -> int:
+    """Val-split shards with EMBEDDED eval pairs — the reference bakes a
+    CampusLoopDataset (live, memory) image pair into every val example
+    next to the (image, label) training fields
+    (gen_tfrecords.py:81-88,147-149). examples yields
+    (image u8 (H,W,3), label u8 (H,W), cl_live u8 (H,W,3),
+    cl_mem u8 (H,W,3)). Returns the number of shards written."""
+    os.makedirs(out_dir, exist_ok=True)
+    shard, bufs = 0, ([], [], [], [])
+
+    def flush():
+        nonlocal shard, bufs
+        if not bufs[0]:
+            return
+        np.savez_compressed(
+            os.path.join(out_dir, f"val_shard_{shard:05d}.npz"),
+            images=np.stack(bufs[0]), labels=np.stack(bufs[1]),
+            cl_live=np.stack(bufs[2]), cl_mem=np.stack(bufs[3]))
+        shard += 1
+        bufs = ([], [], [], [])
+
+    for img, lab, live, mem in examples:
+        for b, a in zip(bufs, (img, lab, live, mem)):
+            b.append(a.astype(np.uint8))
+        if len(bufs[0]) >= shard_size:
+            flush()
+    flush()
+    return shard
+
+
+def load_eval_pairs(data_dir: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Collect the embedded (cl_live, cl_mem) eval pairs from every val
+    shard, as float batches in [0,1] — the arrays
+    models/evaluate.evaluate_pairs consumes (test_net.py reads the same
+    fields back out of the val tfrecords)."""
+    paths = sorted(globlib.glob(os.path.join(data_dir, "val_shard_*.npz")))
+    if not paths:
+        raise FileNotFoundError(f"no val shards under {data_dir}")
+    live, mem = [], []
+    for p in paths:
+        with np.load(p) as z:
+            live.append(z["cl_live"])
+            mem.append(z["cl_mem"])
+    return (np.concatenate(live).astype(np.float32) / 255.0,
+            np.concatenate(mem).astype(np.float32) / 255.0)

