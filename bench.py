@@ -24,6 +24,19 @@ import time
 if os.environ.get("BENCH_MODE", "sim") != "pixels":
     os.environ.setdefault("EKF_COV_PRECISION", "tensorfloat32")
 
+# Form optima are STORAGE-DTYPE-DEPENDENT (docs/BENCH.md r3c/r3e): on
+# the f32 parity program P passes cost 2x the bf16 bytes, so the
+# deferred single-apply tail + natural-layout row/diag selections win
+# (10,187.1 vs the 9,095.9 plain-f32 baseline, runs/r3e) where they
+# lose or tie on the bf16 program. Defaulting them here keeps
+# `BENCH_PSTORE=f32 python bench.py` at the measured f32 optimum; all
+# three forms are bit-pinned to the default lowerings by tests.
+if (os.environ.get("BENCH_PSTORE") == "f32"
+        and os.environ.get("BENCH_MODE", "sim") != "pixels"):
+    os.environ.setdefault("EKF_DEFER", "1")
+    os.environ.setdefault("EKF_MGROWS", "rowsel")
+    os.environ.setdefault("EKF_SDIAG", "dotsel")
+
 import jax
 import jax.numpy as jnp
 
