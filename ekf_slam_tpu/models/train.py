@@ -36,6 +36,10 @@ class TrainConfig:
     batch_size: int = 12            # calc2.py:43
     image_hw: tuple = (192, 256)    # calc2.py:19-20 (vh, vw)
     margin: float = 0.5             # calc2.py:278
+    # "triplet" = reference parity; "infonce" = temperature-scaled
+    # contrastive for the aliasing regime (losses.infonce_loss rationale).
+    sim_objective: str = "triplet"
+    sim_tau: float = 0.01
     ckpt_every: int = 1024          # utils.py:563
     seed: int = 0
 
@@ -90,7 +94,8 @@ def train_step(model: VSS, tcfg: TrainConfig, state: TrainState,
             rngs={"reparam": k_rep2}, descriptor_only=True)[0]
         loss, metrics = losses.total_loss(
             outs, outs_p["descriptor"], images, labels_onehot, class_weights,
-            tcfg.margin)
+            tcfg.margin, sim_objective=tcfg.sim_objective,
+            sim_tau=tcfg.sim_tau)
         return loss, (metrics, mut["batch_stats"])
 
     grads, (metrics, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)

@@ -127,6 +127,14 @@ def main():
                          "where independent-scene training made plain "
                          "retrieval worse under aliasing (0 = off, "
                          "train on independent-scene shards)")
+    ap.add_argument("--sim-objective", default="triplet",
+                    choices=["triplet", "infonce"],
+                    help="similarity objective: reference triplet "
+                         "(calc2.py:276-279) or temperature-scaled "
+                         "InfoNCE (losses.infonce_loss — for the "
+                         "aliasing regime where the 0.5-margin hinge "
+                         "is unsatisfiable and stays pinned, runs/r3f)")
+    ap.add_argument("--sim-tau", type=float, default=0.01)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -152,7 +160,9 @@ def main():
 
     model = train.create_model(VSSConfig(width=args.width))
     tcfg = train.TrainConfig(batch_size=args.batch, image_hw=hw,
-                             ckpt_every=max(args.steps // 2, 1))
+                             ckpt_every=max(args.steps // 2, 1),
+                             sim_objective=args.sim_objective,
+                             sim_tau=args.sim_tau)
     # Untrained baseline first (same init seed as training).
     state0 = train.init_state(model, tcfg, jax.random.key(tcfg.seed))
     vars0 = {"params": state0.params, "batch_stats": state0.batch_stats}
@@ -316,6 +326,8 @@ def main():
         "eval_severity": args.eval_severity,
         "aliasing": args.aliasing,
         "train_aliasing": args.train_aliasing,
+        "sim_objective": args.sim_objective,
+        "sim_tau": args.sim_tau,
         "aliasing_sweep": sweep_rows,
         "train_steps_per_s": args.steps / max(train_s, 1e-9),
         "class_weights": (load_weights(data_dir).tolist()

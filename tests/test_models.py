@@ -108,6 +108,60 @@ def test_hard_negative_excludes_self():
     assert not np.any(np.all(np.asarray(dn) == np.eye(4), axis=-1))
 
 
+def test_infonce_gradient_in_compressed_regime():
+    """In the aliasing regime (all cosines in [0.98, 1]) the margin-0.5
+    hinge's gradient is the same whether the negative is 0.001 or 0.019
+    away, while InfoNCE's is concentrated on the near-duplicates — and
+    minimizing it separates positives from siblings."""
+    key = jax.random.key(0)
+    base = jax.random.normal(key, (6, 64))
+    base = base / jnp.linalg.norm(base, axis=-1, keepdims=True)
+    # Siblings: tiny perturbations of one anchor direction.
+    d = base[0] + 0.08 * base  # rows all ~0.99 cosine to each other
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    dp = d + 0.02 * base[::-1]
+    dp = dp / jnp.linalg.norm(dp, axis=-1, keepdims=True)
+    assert float(jnp.min(d @ d.T)) > 0.98
+    loss0 = losses.infonce_loss(d, dp, tau=0.01)
+    assert bool(jnp.isfinite(loss0))
+    # One gradient step on the descriptors must reduce the loss (the
+    # pinned hinge, by contrast, has constant slope everywhere).
+    g = jax.grad(lambda x: losses.infonce_loss(x, dp, 0.01))(d)
+    assert float(jnp.linalg.norm(g)) > 0.0
+    d1 = d - 0.05 * g
+    d1 = d1 / jnp.linalg.norm(d1, axis=-1, keepdims=True)
+    assert float(losses.infonce_loss(d1, dp, 0.01)) < float(loss0)
+
+
+def test_total_loss_objectives_agree_on_shared_terms():
+    """Both sim objectives are plumbed; seg/rec/kld terms identical."""
+    key = jax.random.key(1)
+    B, H, W = 2, 8, 8
+    outs = {
+        "descriptor": jax.random.normal(key, (B, 32)),
+        "seg": jax.random.normal(jax.random.key(2), (B, H, W, 13)),
+        "rec": jax.nn.sigmoid(jax.random.normal(jax.random.key(3),
+                                                (B, H, W, 3))),
+        "mu": jax.random.normal(jax.random.key(4), (B, 2, 2, 8)),
+        "log_sig_sq": jax.random.normal(jax.random.key(5), (B, 2, 2, 8)),
+    }
+    outs["descriptor"] = outs["descriptor"] / jnp.linalg.norm(
+        outs["descriptor"], axis=-1, keepdims=True)
+    dp = jnp.roll(outs["descriptor"], 1, axis=0)
+    imgs = jax.nn.sigmoid(jax.random.normal(jax.random.key(6), (B, H, W, 3)))
+    lbl = jax.nn.one_hot(
+        jax.random.randint(jax.random.key(7), (B, H, W), 0, 13), 13)
+    w = jnp.ones(13)
+    lt, mt = losses.total_loss(outs, dp, imgs, lbl, w)
+    li, mi = losses.total_loss(outs, dp, imgs, lbl, w,
+                               sim_objective="infonce", sim_tau=0.02)
+    for k in ("segloss", "recloss", "kld", "sim_pos", "sim_neg"):
+        np.testing.assert_allclose(float(mt[k]), float(mi[k]), rtol=1e-6)
+    assert float(mt["simloss"]) != float(mi["simloss"])
+    np.testing.assert_allclose(
+        float(lt - mt["simloss"]), float(li - mi["simloss"]), rtol=1e-5)
+
+
 def test_train_step_decreases_loss(model_and_state):
     model, tcfg, state = model_and_state
     imgs, labels = synthetic_batch(jax.random.key(2), 2, HW)
