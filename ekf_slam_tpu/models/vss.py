@@ -46,6 +46,13 @@ class VSSConfig:
     compute_dtype: str = "float32"  # "bfloat16" for MXU fast path
     bn_momentum: float = 0.9997     # calc2.py:133 decay
     bn_epsilon: float = 1e-5
+    # Rematerialize each conv block in the backward pass (nn.remat —
+    # a lifted transform, so the parameter tree is unchanged). Trades
+    # ~1/3 extra forward FLOPs for dropping the BN/ELU intermediates
+    # from the gradient stash; required to fit the reference training
+    # shape (192x256 crop, batch 12, width 32) in 16 GB HBM — without
+    # it the train step needs 23.6 GB (runs/r3g/queue.log).
+    remat: bool = False
 
     @property
     def heads(self) -> int:
@@ -79,6 +86,17 @@ def _pool(x):
     return nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")
 
 
+def _remat(block_cls):
+    """nn.remat'd conv block with the ORIGINAL auto-naming (flax derives
+    default module names from the class __name__; the lifted transform's
+    "Checkpoint<cls>" default would fork the parameter tree and break
+    checkpoint compatibility between remat on/off —
+    tests/test_models.py::test_remat_bit_equivalent)."""
+    cls = nn.remat(block_cls, static_argnums=(2,))
+    cls.__name__ = block_cls.__name__
+    return cls
+
+
 class Encoder(nn.Module):
     cfg: VSSConfig
 
@@ -86,7 +104,8 @@ class Encoder(nn.Module):
     def __call__(self, x, train: bool):
         c = self.cfg
         w = c.width
-        conv = lambda f, k=(3, 3): ConvBNElu(f, k, c)
+        Block = _remat(ConvBNElu) if c.remat else ConvBNElu
+        conv = lambda f, k=(3, 3): Block(f, k, c)
         r1 = conv(w)(x, train)
         r3 = conv(w)(conv(w // 2, (1, 1))(r1, train), train) + r1
         r5 = conv(w)(conv(w // 2, (1, 1))(r3, train), train) + r3
@@ -121,6 +140,22 @@ class GroupedConvBNElu(nn.Module):
         return nn.elu(x).astype(dt)
 
 
+import os as _os
+
+# Grouped depth_to_space lowering (A/B knob, bit-identical outputs —
+# tests/test_models.py::test_d2s_convt_bit_equals_reshape):
+#   "convt"   — stride-r conv_transpose against a CONSTANT one-hot
+#               kernel: the spatial interleave runs on the MXU and every
+#               tensor stays big-channel NHWC. This is the TPU-safe
+#               form: the reshape form's 7-D transpose materializes
+#               temps whose two minor dims are (r, c_out) — at the
+#               reference training scale (192x256, width 32) stage-4
+#               temps pad 10.7x (504 MB -> 5.3 GB) and the train step
+#               OOMs a 16 GB chip (runs/r3d/queue.log).
+#   "reshape" — the plain reshape/transpose pair.
+_D2S = _os.environ.get("VSS_D2S", "convt")
+
+
 def grouped_depth_to_space(x: jnp.ndarray, heads: int, r: int = 2):
     """depth_to_space applied within each of `heads` channel groups.
 
@@ -131,6 +166,29 @@ def grouped_depth_to_space(x: jnp.ndarray, heads: int, r: int = 2):
     B, H, W, HC = x.shape
     C = HC // heads
     c_out = C // (r * r)
+    if _D2S == "convt":
+        # One-hot kernel K[i, j, cin, cout]: input channel
+        # (head, i, j, co) routes to output (2h+i, 2w+j, head*c_out+co).
+        # Exact selection (0/1 weights, HIGHEST precision), so this is a
+        # bit-exact rearrangement, not an approximation.
+        cin = jnp.arange(HC)
+        head_i = cin // C
+        rem = cin % C
+        ii, jj = rem // (r * c_out), (rem // c_out) % r
+        co = rem % c_out
+        kern = ((jnp.arange(r)[:, None, None, None] == ii[None, None, :,
+                                                          None])
+                & (jnp.arange(r)[None, :, None, None] == jj[None, None, :,
+                                                            None])
+                & (jnp.arange(heads * c_out)[None, None, None, :]
+                   == (head_i * c_out + co)[None, None, :, None]))
+        # conv_transpose applies the kernel spatially FLIPPED; flip it
+        # back so input (i, j) lands at output (r*h+i, r*w+j).
+        kern = kern[::-1, ::-1].astype(x.dtype)    # (r, r, HC, heads*c_out)
+        return jax.lax.conv_transpose(
+            x, kern, strides=(r, r), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=jax.lax.Precision.HIGHEST)
     x = x.reshape(B, H, W, heads, r, r, c_out)
     x = x.transpose(0, 1, 4, 2, 5, 3, 6)          # B H r W r heads c
     return x.reshape(B, H * r, W * r, heads * c_out)
@@ -144,7 +202,8 @@ class Decoder(nn.Module):
     def __call__(self, z, train: bool):
         c = self.cfg
         h = c.heads
-        g = lambda f: GroupedConvBNElu(f, h, c)
+        Block = _remat(GroupedConvBNElu) if c.remat else GroupedConvBNElu
+        g = lambda f: Block(f, h, c)
         # stage 1: conv(128) then d2s(2) -> 32/group, conv, conv
         x = g(128)(z, train)
         x = grouped_depth_to_space(x, h)

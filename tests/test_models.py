@@ -251,3 +251,47 @@ def test_decoder_group_isolation():
     rec2, seg2 = dec.apply(variables, z3, train=False)
     np.testing.assert_array_equal(np.asarray(seg0), np.asarray(seg2))
     assert not np.array_equal(np.asarray(rec0), np.asarray(rec2))
+
+
+def test_remat_bit_equivalent():
+    """VSSConfig.remat=True (needed to fit the reference training shape
+    in HBM, runs/r3g) is a lifted transform: identical parameter tree
+    (checkpoint-compatible) and matching one-step training update."""
+
+    hw = (32, 32)
+    m0 = train.create_model(VSSConfig(width=8))
+    m1 = train.create_model(VSSConfig(width=8, remat=True))
+    tcfg = train.TrainConfig(batch_size=2, image_hw=hw)
+    s0 = train.init_state(m0, tcfg, jax.random.key(0))
+    s1 = train.init_state(m1, tcfg, jax.random.key(0))
+    assert jax.tree.structure(s0.params) == jax.tree.structure(s1.params)
+    for a, b in zip(jax.tree.leaves(s0.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    imgs, labels = synthetic_batch(jax.random.key(1), 2, hw)
+    w = class_weights(labels)
+    s0b, me0 = jax.jit(lambda s, k: train.train_step(
+        m0, tcfg, s, imgs, labels, w, k))(s0, jax.random.key(2))
+    s1b, me1 = jax.jit(lambda s, k: train.train_step(
+        m1, tcfg, s, imgs, labels, w, k))(s1, jax.random.key(2))
+    np.testing.assert_allclose(float(me0["loss"]), float(me1["loss"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s0b.params), jax.tree.leaves(s1b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_d2s_convt_bit_equals_reshape(monkeypatch):
+    """The MXU one-hot conv_transpose depth-to-space (VSS_D2S=convt, the
+    TPU-safe default — the reshape form's 7-D transpose pads 10.7x and
+    OOMs the reference-scale train step, runs/r3d) is a bit-exact
+    rearrangement."""
+    from ekf_slam_tpu.models import vss as vss_mod
+
+    for shape, heads in [((2, 3, 5, 14 * 16), 14), ((1, 4, 4, 14 * 4), 14),
+                         ((2, 2, 2, 4), 1)]:
+        x = jax.random.normal(jax.random.key(shape[1]), shape)
+        monkeypatch.setattr(vss_mod, "_D2S", "reshape")
+        a = vss_mod.grouped_depth_to_space(x, heads)
+        monkeypatch.setattr(vss_mod, "_D2S", "convt")
+        b = vss_mod.grouped_depth_to_space(x, heads)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -29,7 +29,13 @@ def main():
     hw = (192, 256)                     # calc2.py:19-20 (vh, vw)
     batch = 12                          # calc2.py:43
     width = 32                          # calc2.py:36 (encoder 32..512)
-    model = mtrain.create_model(VSSConfig(width=width))
+    # remat is REQUIRED at this shape: without it the gradient stash
+    # needs 23.58 GB vs 15.75 GB HBM (runs/r3g/queue.log); per-block
+    # remat drops the BN/ELU intermediates (bit-equivalent update —
+    # tests/test_models.py::test_remat_bit_equivalent).
+    remat = os.environ.get("VSS_REMAT", "1") == "1"
+    model = mtrain.create_model(VSSConfig(width=width, remat=remat))
+    print(f"remat={remat}")
     tcfg = mtrain.TrainConfig(batch_size=batch, image_hw=hw)
 
     t0 = time.time()
