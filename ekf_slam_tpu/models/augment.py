@@ -100,6 +100,42 @@ def rand_warp(key: jax.Array, images: jnp.ndarray, out_hw,
     return hom_warp(images, out_hw, H)
 
 
+def random_crop(key: jax.Array, images: jnp.ndarray,
+                labels_onehot: jnp.ndarray, out_hw,
+                per_image: bool = True):
+    """Random joint image+label crop to `out_hw` — the reference crops
+    the channel-concatenated (img, label) tensor to [vh, vw] inside
+    model_fn (calc2.py:254-258), training the 192x256 network on crops
+    of the 320x320 shard images (gen_tfrecords.py writes 320x320).
+
+    DOCUMENTED GENERALIZATION: the reference's tf.image.random_crop
+    with a [B, vh, vw, C] size draws ONE offset shared by the whole
+    batch; per_image=True (default) draws per-image offsets — same
+    marginal distribution per image, strictly more diverse batches, at
+    the cost of a vmapped dynamic_slice instead of one slice.
+    per_image=False reproduces the reference's shared-offset behavior.
+    """
+    B, H, W, _ = images.shape
+    vh, vw = out_hw
+    joint = jnp.concatenate(
+        [images, labels_onehot.astype(images.dtype)], axis=-1)
+    C = joint.shape[-1]
+    if per_image:
+        ky, kx = jax.random.split(key)
+        oy = jax.random.randint(ky, (B,), 0, H - vh + 1)
+        ox = jax.random.randint(kx, (B,), 0, W - vw + 1)
+        cut = jax.vmap(lambda im, y, x: jax.lax.dynamic_slice(
+            im, (y, x, 0), (vh, vw, C)))
+        joint = cut(joint, oy, ox)
+    else:
+        ky, kx = jax.random.split(key)
+        oy = jax.random.randint(ky, (), 0, H - vh + 1)
+        ox = jax.random.randint(kx, (), 0, W - vw + 1)
+        joint = jax.lax.dynamic_slice(joint, (0, oy, ox, 0), (B, vh, vw, C))
+    n_img = images.shape[-1]
+    return joint[..., :n_img], joint[..., n_img:].astype(labels_onehot.dtype)
+
+
 def positive_view(key: jax.Array, images: jnp.ndarray,
                   max_warp: float = 0.5) -> jnp.ndarray:
     """The training 'positive' augmentation (calc2.py:264-269): random

@@ -78,8 +78,16 @@ def train_step(model: VSS, tcfg: TrainConfig, state: TrainState,
                images: jnp.ndarray, labels_onehot: jnp.ndarray,
                class_weights: jnp.ndarray, rng: jax.Array):
     """One optimization step. images: (B,H,W,3) in [0,1]; labels_onehot:
-    (B,H,W,13); class_weights: (13,). Returns (new_state, metrics)."""
-    k_aug, k_rep1, k_rep2 = jax.random.split(rng, 3)
+    (B,H,W,13); class_weights: (13,). Returns (new_state, metrics).
+
+    When the incoming batch is LARGER than tcfg.image_hw, it is randomly
+    cropped to image_hw first — the reference trains the 192x256 network
+    on random crops of its 320x320 shard images (calc2.py:254-258); the
+    shapes stay static under jit because both sizes are."""
+    k_crop, k_aug, k_rep1, k_rep2 = jax.random.split(rng, 4)
+    if images.shape[1:3] != tuple(tcfg.image_hw):
+        images, labels_onehot = augment.random_crop(
+            k_crop, images, labels_onehot, tcfg.image_hw)
     im_warp = augment.positive_view(k_aug, images)
     tx = make_optimizer(tcfg)
 

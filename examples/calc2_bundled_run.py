@@ -105,6 +105,14 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--width", type=int, default=16)
     ap.add_argument("--hw", type=int, nargs=2, default=(96, 128))
+    ap.add_argument("--data-hw", type=int, nargs=2, default=None,
+                    help="shard-image size when larger than --hw: the "
+                         "reference writes 320x320 shards and random-"
+                         "crops each training batch to vh x vw inside "
+                         "the step (gen_tfrecords.py / calc2.py:254-258;"
+                         " train_step crops when shapes differ). Eval "
+                         "places stay at --hw. Default: same as --hw "
+                         "(no crop).")
     ap.add_argument("--images", type=int, default=1024)
     ap.add_argument("--places", type=int, default=64)
     ap.add_argument("--out", default="runs/calc2")
@@ -150,13 +158,16 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     hw = tuple(args.hw)
+    data_hw = tuple(args.data_hw) if args.data_hw else hw
+    assert data_hw[0] >= hw[0] and data_hw[1] >= hw[1], \
+        "--data-hw must be >= --hw (shards are cropped down, not up)"
     data_dir = os.path.join(args.out, "shards")
     t0 = time.time()
     if not args.train_aliasing and not os.path.exists(
             os.path.join(data_dir, "loss_weights.txt")):
-        n_shards = build_shards(data_dir, args.images, hw)
-        print(f"wrote {n_shards} shards ({args.images} images) "
-              f"in {time.time()-t0:.0f}s")
+        n_shards = build_shards(data_dir, args.images, data_hw)
+        print(f"wrote {n_shards} shards ({args.images} images at "
+              f"{data_hw[0]}x{data_hw[1]}) in {time.time()-t0:.0f}s")
 
     model = train.create_model(VSSConfig(width=args.width))
     tcfg = train.TrainConfig(batch_size=args.batch, image_hw=hw,

@@ -101,6 +101,47 @@ def test_seasonal_change_severity():
     np.testing.assert_array_equal(a, np.asarray(out1b))
 
 
+def test_random_crop_joint_alignment():
+    """Image and label crop from the SAME region (the reference crops
+    the channel-concatenated pair, calc2.py:254-258); shapes and dtype
+    are preserved; shared-offset mode reproduces one offset batch-wide."""
+    key = jax.random.key(0)
+    B, H, W = 3, 12, 16
+    # Encode position into the image so the crop offset is recoverable.
+    ys = jnp.broadcast_to(jnp.arange(H, dtype=jnp.float32)[:, None], (H, W))
+    xs = jnp.broadcast_to(jnp.arange(W, dtype=jnp.float32), (H, W))
+    imgs = jnp.stack([jnp.stack([ys, xs, ys * 0], -1)] * B)
+    lbl_ids = (ys[None].astype(jnp.int32) * W + xs[None].astype(jnp.int32))
+    lbl = jax.nn.one_hot(jnp.broadcast_to(lbl_ids % 13, (B, H, W)), 13)
+    ic, lc = augment.random_crop(key, imgs, lbl, (8, 8))
+    assert ic.shape == (B, 8, 8, 3) and lc.shape == (B, 8, 8, 13)
+    assert lc.dtype == lbl.dtype
+    for b in range(B):
+        oy = int(ic[b, 0, 0, 0])
+        ox = int(ic[b, 0, 0, 1])
+        np.testing.assert_array_equal(np.asarray(ic[b]),
+                                      np.asarray(imgs[b, oy:oy+8, ox:ox+8]))
+        np.testing.assert_array_equal(np.asarray(lc[b]),
+                                      np.asarray(lbl[b, oy:oy+8, ox:ox+8]))
+    ic2, _ = augment.random_crop(key, imgs, lbl, (8, 8), per_image=False)
+    offs = {(int(ic2[b, 0, 0, 0]), int(ic2[b, 0, 0, 1])) for b in range(B)}
+    assert len(offs) == 1  # reference tf.image.random_crop semantics
+
+
+def test_train_step_crops_oversized_batch():
+    """A (B, 2H, 2W) batch trains through the 192x256-analog step: the
+    reference's 320x320-shards -> random-crop contract (calc2.py:256)."""
+    model = train.create_model(CFG)
+    tcfg = train.TrainConfig(batch_size=2, image_hw=HW)
+    state = train.init_state(model, tcfg, jax.random.key(0))
+    big_hw = (HW[0] * 2, HW[1] * 2)
+    imgs, labels = synthetic_batch(jax.random.key(2), 2, big_hw)
+    w = class_weights(labels)
+    state, metrics = jax.jit(lambda s, r: train.train_step(
+        model, tcfg, s, imgs, labels, w, r))(state, jax.random.key(3))
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_hard_negative_excludes_self():
     d = jnp.eye(4)  # orthogonal descriptors
     dn = losses.hard_negative_mine(d)
