@@ -34,8 +34,16 @@ def main():
     # remat drops the BN/ELU intermediates (bit-equivalent update —
     # tests/test_models.py::test_remat_bit_equivalent).
     remat = os.environ.get("VSS_REMAT", "1") == "1"
-    model = mtrain.create_model(VSSConfig(width=width, remat=remat))
-    print(f"remat={remat}")
+    # compute dtype: f32 remat compiles to temp 15.46 GiB — runtime then
+    # RESOURCE_EXHAUSTEDs because args (0.14) + outputs (0.11) + runtime
+    # reserve push past 15.75 GiB (runs/r3h/queue.log). bfloat16
+    # activations are the TPU-idiomatic training path (VSSConfig
+    # docstring) and halve the activation stash; state donation lets the
+    # output state alias the input buffers.
+    dtype = os.environ.get("VSS_DTYPE", "bfloat16")
+    model = mtrain.create_model(VSSConfig(width=width, remat=remat,
+                                          compute_dtype=dtype))
+    print(f"remat={remat} compute_dtype={dtype}")
     tcfg = mtrain.TrainConfig(batch_size=batch, image_hw=hw)
 
     t0 = time.time()
@@ -47,7 +55,7 @@ def main():
     w = class_weights(labels)
 
     step = jax.jit(lambda s, i, l, ww, k: mtrain.train_step(
-        model, tcfg, s, i, l, ww, k))
+        model, tcfg, s, i, l, ww, k), donate_argnums=(0,))
     t0 = time.time()
     lowered = step.lower(state, imgs, labels, w, jax.random.key(2))
     compiled = lowered.compile()
