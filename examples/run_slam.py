@@ -23,6 +23,21 @@ import jax
 import jax.numpy as jnp
 
 
+def _traj_report(traj, xs):
+    """Print the standard trajectory metrics (utils/trajectory.py):
+    gauge-aligned ATE (SE3 and Sim3 — the monocular-scale variant) and
+    one-frame RPE drift."""
+    from ekf_slam_tpu.utils import trajectory as tj
+    out = jax.jit(lambda e, g: (
+        tj.ate_rmse(e[:, 0:3], g[:, 0:3]),
+        tj.ate_rmse(e[:, 0:3], g[:, 0:3], with_scale=True),
+        tj.rpe(e[:, 0:3], e[:, 3:7], g[:, 0:3], g[:, 3:7])))(traj, xs)
+    ate, ate_s, (rpe_t, rpe_r) = out
+    print(f"ATE (SE3-aligned) {float(ate):.4f} | ATE (Sim3) "
+          f"{float(ate_s):.4f} | RPE/frame {float(rpe_t):.4f} m, "
+          f"{float(rpe_r):.4f} rad")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="sim",
@@ -88,6 +103,7 @@ def main():
                         n_li=float(jnp.mean(row.n_li)))
         dump_trajectory(os.path.join(args.out, "trajectory.npz"),
                         traj0, truth=xs)
+        _traj_report(traj0, xs)
         if args.plots:
             from ekf_slam_tpu.viz import plot_map_3d
             lm = final.slot_values()[..., 0:3]
@@ -112,6 +128,7 @@ def main():
                         n_li=int(info.n_li))
         dump_trajectory(os.path.join(args.out, "trajectory.npz"),
                         jnp.stack(traj), truth=xs)
+        _traj_report(jnp.stack(traj), xs)
 
     else:  # sequence
         from ekf_slam_tpu.io import ImageSequence
