@@ -143,6 +143,14 @@ def main():
                          "aliasing regime where the 0.5-margin hinge "
                          "is unsatisfiable and stays pinned, runs/r3f)")
     ap.add_argument("--sim-tau", type=float, default=0.01)
+    ap.add_argument("--remat", action="store_true",
+                    help="per-block gradient rematerialization "
+                         "(VSSConfig.remat — required for the reference "
+                         "training shape on a 16 GB chip, bit-equivalent "
+                         "update)")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="activation compute dtype (params stay f32)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -169,7 +177,8 @@ def main():
         print(f"wrote {n_shards} shards ({args.images} images at "
               f"{data_hw[0]}x{data_hw[1]}) in {time.time()-t0:.0f}s")
 
-    model = train.create_model(VSSConfig(width=args.width))
+    model = train.create_model(VSSConfig(width=args.width, remat=args.remat,
+                                         compute_dtype=args.dtype))
     tcfg = train.TrainConfig(batch_size=args.batch, image_hw=hw,
                              ckpt_every=max(args.steps // 2, 1),
                              sim_objective=args.sim_objective,
