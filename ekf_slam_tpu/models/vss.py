@@ -53,6 +53,28 @@ class VSSConfig:
     # shape (192x256 crop, batch 12, width 32) in 16 GB HBM — without
     # it the train step needs 23.6 GB (runs/r3g/queue.log).
     remat: bool = False
+    # Descriptor-head variants for the perceptual-aliasing regime
+    # (docs/CALC2_RUN.md r3: sibling places differ in ~2/48 Voronoi
+    # cells, and the reference's H/16 NetVLAD-pooled global descriptor
+    # compresses same-archetype cosines into a 1e-4 band — a ceiling no
+    # training objective recovers). Opt-in, measured variants:
+    #   descr_source = "d5"   — reference parity (calc2.py:186-195):
+    #                           residual descriptor over the H/16 `mu`.
+    #   descr_source = "d4"   — the same residual head over the H/8
+    #                           encoder stage (own conv + center grid):
+    #                           4x finer cells localize the differing
+    #                           content instead of blending it into
+    #                           archetype-dominated receptive fields.
+    #   descr_source = "multi"— equal-weight concat of the two levels'
+    #                           unit-normalized descriptors (cosine =
+    #                           mean of the per-level cosines).
+    # descr_intra_norm=False drops the per-cell intra-normalization so
+    # cells with large residuals (unusual content) dominate the global
+    # cosine instead of every cell voting equally.
+    # The default config's parameter tree is UNCHANGED by this feature
+    # (tests/test_models.py::test_descr_variant_param_tree).
+    descr_source: str = "d5"
+    descr_intra_norm: bool = True
 
     @property
     def heads(self) -> int:
@@ -117,7 +139,9 @@ class Encoder(nn.Module):
         d4 = conv(8 * w)(conv(8 * w)(p3, train), train)
         p4 = _pool(d4)
         d5 = conv(16 * w)(conv(16 * w)(p4, train), train)
-        return d5, r5  # r5 = "c5" low-level features for kp_descriptor
+        # r5 = "c5" low-level features for kp_descriptor; d4 (H/8) feeds
+        # the finer-latent descriptor variants (VSSConfig.descr_source).
+        return d5, r5, d4
 
 
 class GroupedConvBNElu(nn.Module):
@@ -246,19 +270,41 @@ class VSS(nn.Module):
                  descriptor_only: bool = False):
         c = self.cfg
         x = images.astype(jnp.dtype(c.compute_dtype))
-        d5, c5 = Encoder(c)(x, train)
+        d5, c5, d4 = Encoder(c)(x, train)
 
         mu = nn.Conv(c.latent_ch, (3, 3), padding="SAME",
                      dtype=jnp.float32, name="mu")(d5.astype(jnp.float32))
 
-        # NetVLAD-style residual descriptor (calc2.py:186-195).
-        sh = mu.shape
-        centers = self.param(
-            "offset", nn.initializers.normal(1.0), (1,) + sh[1:], jnp.float32)
-        res = mu - centers
-        res = res / (jnp.linalg.norm(res, axis=-1, keepdims=True) + 1e-12)
-        flat = res.reshape(res.shape[0], -1)
-        descr = flat / (jnp.linalg.norm(flat, axis=-1, keepdims=True) + 1e-12)
+        # NetVLAD-style residual descriptor (calc2.py:186-195); the
+        # residual grid can come from the H/16 latent (reference), the
+        # H/8 stage, or both (VSSConfig.descr_source — aliasing-regime
+        # variants, rationale in the config docstring).
+        def residual_descr(grid, offset_name):
+            centers = self.param(offset_name, nn.initializers.normal(1.0),
+                                 (1,) + grid.shape[1:], jnp.float32)
+            res = grid - centers
+            if c.descr_intra_norm:
+                res = res / (jnp.linalg.norm(res, axis=-1, keepdims=True)
+                             + 1e-12)
+            flat = res.reshape(res.shape[0], -1)
+            return flat / (jnp.linalg.norm(flat, axis=-1, keepdims=True)
+                           + 1e-12)
+
+        parts = []
+        if c.descr_source in ("d5", "multi"):
+            parts.append(residual_descr(mu, "offset"))
+        if c.descr_source in ("d4", "multi"):
+            mu4 = nn.Conv(c.latent_ch, (3, 3), padding="SAME",
+                          dtype=jnp.float32,
+                          name="mu_d4")(d4.astype(jnp.float32))
+            parts.append(residual_descr(mu4, "offset_d4"))
+        if not parts:
+            raise ValueError(f"unknown descr_source {c.descr_source!r}")
+        # Each part is unit-norm; equal-weight concat keeps unit norm and
+        # makes the cosine the mean of the per-level cosines.
+        descr = (parts[0] if len(parts) == 1
+                 else jnp.concatenate(parts, axis=-1)
+                 / jnp.sqrt(jnp.float32(len(parts))))
         if descriptor_only:
             return {"descriptor": descr, "c5": c5}
 

@@ -336,3 +336,56 @@ def test_d2s_convt_bit_equals_reshape(monkeypatch):
         monkeypatch.setattr(vss_mod, "_D2S", "convt")
         b = vss_mod.grouped_depth_to_space(x, heads)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_descr_variant_param_tree():
+    """Descriptor variants (VSSConfig.descr_source / descr_intra_norm —
+    aliasing-regime heads, docs/CALC2_RUN.md r3) are opt-in: the default
+    config's parameter tree is byte-stable (checkpoint compatibility),
+    d4 adds exactly the {mu_d4, offset_d4} head, and every variant
+    returns a unit-norm descriptor of the documented dimension."""
+    hw = (32, 32)
+    tcfg = train.TrainConfig(batch_size=2, image_hw=hw)
+
+    def init(cfg):
+        m = train.create_model(cfg)
+        s = train.init_state(m, tcfg, jax.random.key(0))
+        return m, s
+
+    m0, s0 = init(VSSConfig(width=8))
+    m1, s1 = init(VSSConfig(width=8, descr_intra_norm=False))
+    assert jax.tree.structure(s0.params) == jax.tree.structure(s1.params)
+
+    m4, s4 = init(VSSConfig(width=8, descr_source="d4"))
+    assert (set(s4.params) - set(s0.params)) == {"mu_d4", "offset_d4"}
+
+    imgs = jax.random.uniform(jax.random.key(3), (2,) + hw + (3,))
+    h, w = hw
+    dim5 = (h // 16) * (w // 16) * 56
+    dim4 = (h // 8) * (w // 8) * 56
+    for cfg, dim in [(VSSConfig(width=8), dim5),
+                     (VSSConfig(width=8, descr_intra_norm=False), dim5),
+                     (VSSConfig(width=8, descr_source="d4"), dim4),
+                     (VSSConfig(width=8, descr_source="multi"),
+                      dim5 + dim4)]:
+        m, s = init(cfg)
+        outs = m.apply({"params": s.params, "batch_stats": s.batch_stats},
+                       imgs, train=False, rngs={"reparam": jax.random.key(1)},
+                       descriptor_only=True)
+        d = np.asarray(outs["descriptor"])
+        assert d.shape == (2, dim), (cfg.descr_source, d.shape)
+        np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0,
+                                   rtol=1e-5)
+    # multi: cosine is the mean of the per-level cosines (equal-weight
+    # concat of unit vectors).
+    mm, sm = init(VSSConfig(width=8, descr_source="multi"))
+    dm = np.asarray(mm.apply(
+        {"params": sm.params, "batch_stats": sm.batch_stats}, imgs,
+        train=False, rngs={"reparam": jax.random.key(1)},
+        descriptor_only=True)["descriptor"])
+    c_multi = float(dm[0] @ dm[1])
+    c5 = float(np.dot(*(dm[:, :dim5] / np.linalg.norm(dm[:, :dim5], axis=-1,
+                                                      keepdims=True))))
+    c4 = float(np.dot(*(dm[:, dim5:] / np.linalg.norm(dm[:, dim5:], axis=-1,
+                                                      keepdims=True))))
+    np.testing.assert_allclose(c_multi, 0.5 * (c5 + c4), rtol=1e-5)
