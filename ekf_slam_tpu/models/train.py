@@ -40,6 +40,14 @@ class TrainConfig:
     # contrastive for the aliasing regime (losses.infonce_loss rationale).
     sim_objective: str = "triplet"
     sim_tau: float = 0.01
+    # Appearance-severity augmentation on the positive view
+    # (augment.seasonal_change at this severity, 0 = off). The reference
+    # gets cross-season invariance from its data (CampusLoop pairs are
+    # cross-season; COCO training spans appearance); the bundled
+    # synthetic world models it explicitly — training without it leaves
+    # the descriptor brittle to appearance change the untrained net
+    # shrugs off (docs/CALC2_RUN.md r3 severity sweep).
+    aug_severity: float = 0.0
     ckpt_every: int = 1024          # utils.py:563
     seed: int = 0
 
@@ -84,11 +92,20 @@ def train_step(model: VSS, tcfg: TrainConfig, state: TrainState,
     cropped to image_hw first — the reference trains the 192x256 network
     on random crops of its 320x320 shard images (calc2.py:254-258); the
     shapes stay static under jit because both sizes are."""
-    k_crop, k_aug, k_rep1, k_rep2 = jax.random.split(rng, 4)
+    # aug_severity == 0 keeps the original 4-way split so default runs
+    # stay bit-reproducible against earlier rounds.
+    if tcfg.aug_severity > 0.0:
+        k_crop, k_aug, k_sev, k_rep1, k_rep2 = jax.random.split(rng, 5)
+    else:
+        k_crop, k_aug, k_rep1, k_rep2 = jax.random.split(rng, 4)
+        k_sev = None
     if images.shape[1:3] != tuple(tcfg.image_hw):
         images, labels_onehot = augment.random_crop(
             k_crop, images, labels_onehot, tcfg.image_hw)
     im_warp = augment.positive_view(k_aug, images)
+    if tcfg.aug_severity > 0.0:
+        im_warp = augment.seasonal_change(k_sev, im_warp,
+                                          severity=tcfg.aug_severity)
     tx = make_optimizer(tcfg)
 
     def loss_fn(params):

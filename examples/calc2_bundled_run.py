@@ -143,6 +143,12 @@ def main():
                          "aliasing regime where the 0.5-margin hinge "
                          "is unsatisfiable and stays pinned, runs/r3f)")
     ap.add_argument("--sim-tau", type=float, default=0.01)
+    ap.add_argument("--train-severity", type=float, default=0.0,
+                    help="appearance-severity augmentation on the "
+                         "positive training view (TrainConfig."
+                         "aug_severity — seasonal_change applied at "
+                         "this severity; trains invariance to the "
+                         "appearance model the severity evals probe)")
     ap.add_argument("--remat", action="store_true",
                     help="per-block gradient rematerialization "
                          "(VSSConfig.remat — required for the reference "
@@ -182,7 +188,8 @@ def main():
     tcfg = train.TrainConfig(batch_size=args.batch, image_hw=hw,
                              ckpt_every=max(args.steps // 2, 1),
                              sim_objective=args.sim_objective,
-                             sim_tau=args.sim_tau)
+                             sim_tau=args.sim_tau,
+                             aug_severity=args.train_severity)
     # Untrained baseline first (same init seed as training).
     state0 = train.init_state(model, tcfg, jax.random.key(tcfg.seed))
     vars0 = {"params": state0.params, "batch_stats": state0.batch_stats}
@@ -346,6 +353,7 @@ def main():
         "eval_severity": args.eval_severity,
         "aliasing": args.aliasing,
         "train_aliasing": args.train_aliasing,
+        "train_severity": args.train_severity,
         "sim_objective": args.sim_objective,
         "sim_tau": args.sim_tau,
         "aliasing_sweep": sweep_rows,

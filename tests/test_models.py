@@ -389,3 +389,25 @@ def test_descr_variant_param_tree():
     c4 = float(np.dot(*(dm[:, dim5:] / np.linalg.norm(dm[:, dim5:], axis=-1,
                                                       keepdims=True))))
     np.testing.assert_allclose(c_multi, 0.5 * (c5 + c4), rtol=1e-5)
+
+
+def test_train_severity_augmentation():
+    """TrainConfig.aug_severity > 0 applies the seasonal_change
+    appearance model to the positive view (docs/CALC2_RUN.md r3 severity
+    sweep rationale): the step runs finite and produces a different
+    update than the default, while aug_severity=0 keeps the original
+    4-way RNG split (bit-reproducible default path)."""
+    hw = (32, 32)
+    m = train.create_model(VSSConfig(width=8))
+    t0 = train.TrainConfig(batch_size=2, image_hw=hw)
+    t1 = train.TrainConfig(batch_size=2, image_hw=hw, aug_severity=1.5)
+    s = train.init_state(m, t0, jax.random.key(0))
+    imgs, labels = synthetic_batch(jax.random.key(1), 2, hw)
+    w = class_weights(labels)
+    s0, me0 = jax.jit(lambda st, k: train.train_step(
+        m, t0, st, imgs, labels, w, k))(s, jax.random.key(2))
+    s1, me1 = jax.jit(lambda st, k: train.train_step(
+        m, t1, st, imgs, labels, w, k))(s, jax.random.key(2))
+    assert np.isfinite(float(me1["loss"]))
+    # The augmented positive view must actually change the sim term.
+    assert float(me0["simloss"]) != float(me1["simloss"])

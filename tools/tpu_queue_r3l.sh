@@ -12,7 +12,7 @@ mkdir -p runs/r3l
 LOG=runs/r3l/queue.log
 : > $LOG
 
-while ! grep -q QUEUE_DONE runs/r3k/queue.log 2>/dev/null; do sleep 60; done
+while ! grep -q QUEUE_DONE runs/r3m/queue.log 2>/dev/null; do sleep 60; done
 
 echo "=== calc2 w32 infonce tau=0.1 train-aliasing=4 + sweep" >> $LOG
 timeout 7200 python -u examples/calc2_bundled_run.py \
