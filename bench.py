@@ -205,7 +205,10 @@ def main_pixels():
         "metric": "image_path_slam_steps_per_sec_per_chip_cap100",
         "value": round(steps_per_sec, 1),
         "unit": "steps/s/chip",
-        "vs_baseline": round(steps_per_sec / TARGET, 3),
+        # The image path has its own declared target (BASELINE.md:
+        # >=2,000 steps/s/chip = 30 fps for a 64-instance fleet) — the
+        # 10k sim north star excludes the vision front-end.
+        "vs_baseline": round(steps_per_sec / 2_000.0, 3),
     }))
 
 
