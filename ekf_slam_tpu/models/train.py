@@ -186,7 +186,10 @@ def fit(model: VSS, tcfg: TrainConfig, batches, num_steps: int,
         # re-iterable (list, ShardReader, ...): loop epochs, re-invoking
         # __iter__ so epoch-shuffling loaders re-shuffle.
         it = itertools.chain.from_iterable(itertools.repeat(batches))
+    import time as _time
+
     metrics = {}
+    t_fit = _time.time()
     for step_i in range(num_steps):
         images, labels = next(it)
         images = jnp.asarray(images)
@@ -197,9 +200,24 @@ def fit(model: VSS, tcfg: TrainConfig, batches, num_steps: int,
             w = jnp.asarray(1.0 / jnp.maximum(
                 jnp.mean(labels, axis=(0, 1, 2)), 1e-3))
         rng, k = jax.random.split(rng)
+        if step_i == 0:
+            # Heartbeat for detached runs: the first call compiles the
+            # train step (5-15+ min through the axon tunnel) — mark the
+            # compile start so log-mtime watchdogs can distinguish a
+            # healthy compile from a stuck tunnel connection (the r3p
+            # training leg was killed mid-compile twice; ADVICE r3 #2).
+            print(f"[fit] compiling train step "
+                  f"(b={tcfg.batch_size}, hw={tcfg.image_hw})...",
+                  flush=True)
         state, metrics = step_fn(state, images, labels, w, k)
         if logger is not None:
             logger.log(step_i, **{k_: float(v) for k_, v in metrics.items()})
+            if step_i == 0 or (step_i + 1) % 50 == 0 \
+                    or step_i + 1 == num_steps:
+                el = _time.time() - t_fit
+                print(f"[fit] step {step_i + 1}/{num_steps} "
+                      f"loss={float(metrics['loss']):.4f} "
+                      f"{el:.0f}s elapsed", flush=True)
         if ckpt_dir and (step_i + 1) % tcfg.ckpt_every == 0:
             save_checkpoint(
                 _os.path.join(ckpt_dir, f"ckpt_{step_i + 1:07d}"), state)

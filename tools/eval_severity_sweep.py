@@ -46,6 +46,15 @@ def main():
     from ekf_slam_tpu.models import train
     from ekf_slam_tpu.models.vss import VSSConfig
 
+    # Guard: a failed upstream training leg must be reported, not cascade
+    # as a raw orbax traceback (ADVICE r3: runs/r3p/queue.log crashed here
+    # on a never-written checkpoint after the train leg was watchdog-killed).
+    ckpt_path = os.path.join(args.run, args.ckpt)
+    if not os.path.isdir(ckpt_path):
+        print(f"SWEEP_SKIPPED: checkpoint {ckpt_path} does not exist "
+              f"(upstream training leg failed?)", flush=True)
+        sys.exit(2)
+
     hw = tuple(args.hw)
     model = train.create_model(VSSConfig(width=args.width))
     tcfg = train.TrainConfig(batch_size=8, image_hw=hw)
