@@ -1,4 +1,6 @@
-from ekf_slam_tpu.io.sequence import (ImageSequence, load_pgm,
-                                      build_native, native_available)
+from ekf_slam_tpu.io.sequence import (ImageSequence, load_pgm, write_pgm,
+                                      write_ppm, build_native,
+                                      native_available)
 
-__all__ = ["ImageSequence", "load_pgm", "build_native", "native_available"]
+__all__ = ["ImageSequence", "load_pgm", "write_pgm", "write_ppm",
+           "build_native", "native_available"]

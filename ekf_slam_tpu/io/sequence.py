@@ -69,6 +69,30 @@ def native_available() -> bool:
     return _load_lib() is not None
 
 
+def write_pgm(path: str, arr: np.ndarray, binary: bool = True,
+              maxval: int = 255) -> None:
+    """Write a grayscale uint8 (H, W) array as P5 (binary) or P2 (ascii)
+    PGM — the inverse of takeImage.m's imread, used to materialize rendered
+    sequences in the on-disk layout the reference consumes."""
+    h, w = arr.shape
+    if binary:
+        with open(path, "wb") as f:
+            f.write(f"P5\n{w} {h}\n{maxval}\n".encode())
+            f.write(arr.astype(np.uint8).tobytes())
+    else:
+        with open(path, "w") as f:
+            f.write(f"P2\n{w} {h}\n{maxval}\n")
+            f.write(" ".join(str(int(v)) for v in arr.ravel()))
+
+
+def write_ppm(path: str, arr_rgb: np.ndarray) -> None:
+    """Write an RGB uint8 (H, W, 3) array as binary P6 PPM."""
+    h, w, _ = arr_rgb.shape
+    with open(path, "wb") as f:
+        f.write(f"P6\n{w} {h}\n255\n".encode())
+        f.write(arr_rgb.astype(np.uint8).tobytes())
+
+
 # ------------------------------------------------------------- numpy fallback
 
 def _load_pgm_numpy(path: str) -> np.ndarray:

@@ -4,27 +4,16 @@ import numpy as np
 import pytest
 
 from ekf_slam_tpu.io import (ImageSequence, build_native, load_pgm,
-                             native_available)
+                             native_available, write_pgm, write_ppm)
 from ekf_slam_tpu.io.sequence import _load_pgm_numpy
 
 
-def write_pgm(path, arr, binary=True, maxval=255):
+def write_pgm_commented(path, arr, maxval=255):
+    """P5 with a '#' header comment (both loaders must skip comments)."""
     h, w = arr.shape
-    if binary:
-        with open(path, "wb") as f:
-            f.write(f"P5\n# test comment\n{w} {h}\n{maxval}\n".encode())
-            f.write(arr.astype(np.uint8).tobytes())
-    else:
-        with open(path, "w") as f:
-            f.write(f"P2\n{w} {h}\n{maxval}\n")
-            f.write(" ".join(str(int(v)) for v in arr.ravel()))
-
-
-def write_ppm(path, arr_rgb):
-    h, w, _ = arr_rgb.shape
     with open(path, "wb") as f:
-        f.write(f"P6\n{w} {h}\n255\n".encode())
-        f.write(arr_rgb.astype(np.uint8).tobytes())
+        f.write(f"P5\n# test comment\n{w} {h}\n{maxval}\n".encode())
+        f.write(arr.astype(np.uint8).tobytes())
 
 
 @pytest.fixture(scope="module")
@@ -33,7 +22,11 @@ def seq_dir(tmp_path_factory):
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 256, (5, 24, 32), dtype=np.uint8)
     for i, fr in enumerate(frames):
-        write_pgm(str(d / f"{i:04d}.pgm"), fr)
+        # first frame carries a header comment, rest use the library writer
+        if i == 0:
+            write_pgm_commented(str(d / f"{i:04d}.pgm"), fr)
+        else:
+            write_pgm(str(d / f"{i:04d}.pgm"), fr)
     return d, frames
 
 
