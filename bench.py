@@ -36,6 +36,13 @@ if (os.environ.get("BENCH_PSTORE") == "f32"
     os.environ.setdefault("EKF_DEFER", "1")
     os.environ.setdefault("EKF_MGROWS", "rowsel")
     os.environ.setdefault("EKF_SDIAG", "dotsel")
+    # The f32 batch knee sits at B=128, not the bf16 program's 256: the
+    # r3p coarse sweep first showed it and the r4 fine sweep (B in
+    # {96,112,128,144,160}, best-of-3 at the argmax) confirmed 128 at
+    # 10,840 +- 5 steps/s vs ~10,246 at 256 (docs/BENCH.md r4).
+    # "The optimum MOVES after any update-cost change" — and after any
+    # storage-dtype change (docs/BACKLOG.md #4).
+    os.environ.setdefault("BENCH_BATCH", "128")
 
 import jax
 import jax.numpy as jnp
