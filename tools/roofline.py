@@ -48,15 +48,44 @@ NO_TRAFFIC = {
 CONTROL = {"while", "conditional", "call", "fusion_call"}
 
 INSTR_RE = re.compile(r"^\s+(ROOT\s+)?%?([\w.-]+)\s+=\s+(.*)$")
-OPCODE_RE = re.compile(r"^\s*((?:\([^)]*\)|\S)+?)\s+([\w-]+)\(")
 NAME_RE = re.compile(r"%([\w.-]+)")
 BODY_RE = re.compile(r"body=%?([\w.-]+)")
+_OPC_AFTER_TYPE = re.compile(r"\s*([\w-]+)\(")
+
+
+def split_type_opcode(rhs):
+    """(type_str, opcode) from an instruction RHS `TYPE opcode(args), ...`.
+
+    Tuple types are parenthesized and contain nested parens (`T(8,128)`)
+    and spaces, so a simple regex can't split them — scan to the balanced
+    close paren instead. Non-tuple type tokens never contain spaces."""
+    if rhs.startswith("("):
+        depth = 0
+        for i, c in enumerate(rhs):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    m = _OPC_AFTER_TYPE.match(rhs, i + 1)
+                    return rhs[:i + 1], (m.group(1) if m else "unknown")
+        return rhs, "unknown"
+    parts = rhs.split(None, 1)
+    if len(parts) == 2:
+        m = _OPC_AFTER_TYPE.match(parts[1])
+        if m:
+            return parts[0], m.group(1)
+    return rhs, "unknown"
 
 
 def shape_bytes(type_str):
-    """Padded bytes of every shape literal in `type_str` (tuple types sum)."""
+    """Padded HBM bytes of every shape literal in `type_str` (tuple types
+    sum). Shapes placed in alternate memory space (`S(1)` in the layout =
+    VMEM after memory-space assignment) move no HBM traffic and count 0."""
     total = 0
     for m in SHAPE_RE.finditer(type_str):
+        if "S(1)" in m.group(0):
+            continue
         dt, dims_s, mtm_s, tile_s = m.groups()
         dims = [int(x) for x in dims_s.split(",") if x] if dims_s else []
         mtm = [int(x) for x in mtm_s.split(",") if x] if mtm_s else None
@@ -84,12 +113,7 @@ def parse_computations(text):
         if not im:
             continue
         is_root, name, rhs = bool(im.group(1)), im.group(2), im.group(3)
-        om = OPCODE_RE.match(rhs)
-        if om:
-            type_part, opcode = om.group(1), om.group(2)
-        else:
-            # e.g. `%x = f32[...] constant({...})` already matches; fall back
-            type_part, opcode = rhs, "unknown"
+        type_part, opcode = split_type_opcode(rhs)
         comps[cur].append((name, opcode, shape_bytes(type_part), rhs,
                            is_root))
     return comps
@@ -97,8 +121,10 @@ def parse_computations(text):
 
 CALLS_RE = re.compile(r"calls=%?([\w.-]+)")
 # In-place / windowed ops: traffic is the slice region, not the full
-# operand (XLA aliases DUS in place; dynamic-slice/gather DMA the window).
-SLICED = {"dynamic-update-slice", "dynamic-slice", "gather", "scatter"}
+# operand (XLA aliases DUS in place; slice/dynamic-slice/gather DMA the
+# window only).
+SLICED = {"dynamic-update-slice", "dynamic-slice", "gather", "scatter",
+          "slice"}
 
 
 def _fusion_root(rhs, comps):
