@@ -44,7 +44,13 @@ BORDER = 21            # image border exclusion (initialize_a_feature.m:22)
 # [score; smooth] plane — the score window is its static interior, the
 # describe region rides along free. Measured 2,324.6 steps/s vs the
 # "split" form's 2,028.9 (two dynamic extractions per slot), identical
-# trajectory (docs/BENCH.md r2m). Output-pinned bit-identical
+# trajectory (docs/BENCH.md r2m). "chain" = the same shared-plane cut
+# as TWO chained single-axis dynamic slices (rows at v0, then columns
+# at u0): under the slot vmap a slice with two batched minor-dim
+# offsets lowers as a 2-D gather — the r4c attribution pinned that
+# extraction at 53% of the whole pixels step — while chained single-
+# axis slices lower as 1-D gathers (the round-2 layout lesson,
+# docs/DESIGN.md §9). Output-pinned bit-identical
 # (tests/test_vision.py).
 import os as _os
 _WIN_FORM = _os.environ.get("EKF_MATCHWIN", "shared")
@@ -225,7 +231,7 @@ def match_all_descriptor(img: jnp.ndarray, descr_init: jnp.ndarray,
         z = jnp.stack([cu_i[best], cv_i[best]])
         return z, jnp.where(jnp.isfinite(dist[best]), dist[best], 1e9), found
 
-    shared = (_WIN_FORM == "shared"
+    shared = (_WIN_FORM in ("shared", "chain")
               and descriptor._MANY_FORM == "onehot"
               and not ({"winext", "topk"} & engine._ABLATE))
     if shared:
@@ -254,8 +260,19 @@ def match_all_descriptor(img: jnp.ndarray, descr_init: jnp.ndarray,
                               0, W - W2)
                 v0 = jnp.clip(jnp.round(h[1]).astype(jnp.int32) - R,
                               0, H - W2)
-            reg = jax.lax.dynamic_slice(plane, (jnp.int32(0), v0, u0),
-                                        (2, RG, RG))
+            if _WIN_FORM == "chain":
+                # Two chained single-axis cuts: the row strip depends
+                # only on v0 (batched offset on the SUBLANE dim), the
+                # column cut only on u0 — each lowers as a 1-D gather
+                # under the slot vmap instead of one 2-D gather.
+                strip = jax.lax.dynamic_slice(
+                    plane, (jnp.int32(0), v0, jnp.int32(0)),
+                    (2, RG, plane.shape[2]))
+                reg = jax.lax.dynamic_slice(
+                    strip, (jnp.int32(0), jnp.int32(0), u0), (2, RG, RG))
+            else:
+                reg = jax.lax.dynamic_slice(plane, (jnp.int32(0), v0, u0),
+                                            (2, RG, RG))
             win = reg[0, r:r + W2, r:r + W2]
             vals, idx = jax.lax.top_k(win.reshape(-1), C)
             wy_, wx_ = idx // W2, idx % W2

@@ -492,6 +492,43 @@ def test_match_descriptor_shared_window_form_equivalent():
     np.testing.assert_array_equal(np.asarray(da), np.asarray(db))
 
 
+def test_match_descriptor_chain_window_form_equivalent():
+    """EKF_MATCHWIN=chain (the shared-plane cut as two chained
+    single-axis dynamic slices — rows at v0, then columns at u0)
+    returns bit-identical (z, dist, found) to the one-slice shared
+    form, including border-clamped anchors."""
+    import numpy as np
+    from ekf_slam_tpu.config import EngineConfig, MapConfig
+    from ekf_slam_tpu.vision import descriptor as ds
+    from ekf_slam_tpu.vision import frontend as fe
+    rng = np.random.default_rng(29)
+    H, W, cap = 96, 128, 24
+    cfg = EngineConfig(map=MapConfig(capacity=cap), dtype="float32")
+    img = jnp.asarray(rng.uniform(0, 1, (H, W)).astype(np.float32))
+    d0 = jnp.asarray(np.where(rng.uniform(size=(cap, ds.N_BITS)) > 0.5,
+                              1.0, -1.0).astype(np.float32))
+    h = np.stack([rng.uniform(-5, W + 5, cap),
+                  rng.uniform(-5, H + 5, cap)], -1).astype(np.float32)
+    h[:4] = [[0, 0], [W - 1, H - 1], [0, H - 1], [W - 1, 0]]
+    S = jnp.asarray(np.broadcast_to(np.eye(2, dtype=np.float32) * 40.0,
+                                    (cap, 2, 2))).copy()
+    vis = jnp.asarray(rng.uniform(size=cap) > 0.2)
+    old_w, old_m = fe._WIN_FORM, ds._MANY_FORM
+    try:
+        ds._MANY_FORM = "onehot"
+        fe._WIN_FORM = "shared"
+        za, da, fa = fe.match_all_descriptor(img, d0, jnp.asarray(h), S,
+                                             vis, cfg)
+        fe._WIN_FORM = "chain"
+        zb, db, fb = fe.match_all_descriptor(img, d0, jnp.asarray(h), S,
+                                             vis, cfg)
+    finally:
+        fe._WIN_FORM, ds._MANY_FORM = old_w, old_m
+    np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+    np.testing.assert_array_equal(np.asarray(za), np.asarray(zb))
+    np.testing.assert_array_equal(np.asarray(da), np.asarray(db))
+
+
 def test_describe_regions_flat_form_equivalent():
     """EKF_REGEXTRACT=flat (take_along_axis from the compact per-slot
     region stack) is bit-identical to the one-hot MXU contraction form,
