@@ -15,6 +15,8 @@ it; calling the plot functions raises a clear error if absent.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 CHI2_2_95 = 5.9915   # matching.m:2
@@ -230,3 +232,58 @@ def plot_map_3d(path, traj, landmarks, landmark_cov=None, active=None,
     ax.legend(fontsize=7)
     fig.savefig(path, dpi=110)
     plt.close(fig)
+
+
+def load_loop_artifacts(traj_path: str, loops_path: str):
+    """Parse the two close_loops.py text artifacts.
+
+    kitti_traj.txt: KITTI 12-float rows -> (T, 3) positions.
+    kitti_loops.txt: `i j pose_i(7) pose_j(7)` rows (this framework's
+    richer format — the reference stores only the two (x, z) endpoint
+    positions, close_kitti_loops.py:144-150) -> (L,) i, (L,) j,
+    (L, 3) r_i, (L, 3) r_j. Returns (traj_xyz, i, j, r_i, r_j); the
+    loops arrays are empty when no loops were declared.
+    """
+    poses = np.loadtxt(traj_path, dtype=np.float64)
+    if poses.ndim == 1:
+        poses = poses[None]
+    traj = poses.reshape(-1, 3, 4)[:, :, 3]
+    if os.path.getsize(loops_path) == 0:
+        z = np.zeros(0)
+        return traj, z.astype(int), z.astype(int), z.reshape(0, 3), \
+            z.reshape(0, 3)
+    rows = np.loadtxt(loops_path, dtype=np.float64)
+    if rows.ndim == 1:
+        rows = rows[None]
+    assert rows.shape[1] == 16, f"expected 16 cols, got {rows.shape[1]}"
+    return (traj, rows[:, 0].astype(int), rows[:, 1].astype(int),
+            rows[:, 2:5], rows[:, 9:12])
+
+
+def plot_loops(path, traj_path: str, loops_path: str):
+    """The plot_loops.m analog (plot_loops.m:17-27): the trajectory's
+    ground-plane track (x, z) drawn as a blue 3D polyline with frame id
+    on the vertical axis, plus a thick red chord for every declared loop
+    connecting the two endpoint poses at their frame ids. The reference
+    recovers each chord's frame ids by nearest-trajectory-point search
+    (plot_loops.m:23-24) because its loops file stores only positions;
+    close_loops.py stores the ids directly, so no search is needed.
+    KITTI camera convention: x right, z forward — the ground plane is
+    (x, z), same columns close_kitti_loops.py:84-86 uses."""
+    plt = _mpl()
+    traj, li, lj, ri, rj = load_loop_artifacts(traj_path, loops_path)
+    ids = np.arange(traj.shape[0])
+    fig = plt.figure(figsize=(6, 5))
+    ax = fig.add_subplot(projection="3d")
+    ax.plot(traj[:, 0], traj[:, 2], ids, "b-", lw=2, label="trajectory")
+    for k in range(li.shape[0]):
+        ax.plot([ri[k, 0], rj[k, 0]], [ri[k, 2], rj[k, 2]],
+                [li[k], lj[k]], "r-", lw=2,
+                label="loop" if k == 0 else None)
+    ax.set_xlabel("x (m)")
+    ax.set_ylabel("z (m)")
+    ax.set_zlabel("Frame ID")
+    ax.legend(fontsize=7)
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+    return li.shape[0]

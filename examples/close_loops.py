@@ -51,6 +51,9 @@ def main():
     ap.add_argument("--exclude-recent", type=int, default=0,
                     help="0 = frames//4 (reference: 200)")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--plot", action="store_true",
+                    help="also write loops.png — the plot_loops.m analog "
+                         "(trajectory polyline + red loop chords)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -136,6 +139,12 @@ def main():
         for t, n, dt in q_times:
             f.write(f"{t} {n} {dt:.6f}\n")
     print(f"{len(loops)} loops over {T} frames; artifacts in {args.out}")
+    if args.plot:
+        from ekf_slam_tpu.viz import plot_loops
+        plot_loops(os.path.join(args.out, "loops.png"),
+                   os.path.join(args.out, "kitti_traj.txt"),
+                   os.path.join(args.out, "kitti_loops.txt"))
+        print(f"wrote {os.path.join(args.out, 'loops.png')}")
 
 
 if __name__ == "__main__":

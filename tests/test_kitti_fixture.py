@@ -65,7 +65,8 @@ def test_close_loops_runs_from_disk(kitti_seq, tmp_path):
     r = _run(["examples/close_loops.py",
               "--poses", str(kitti_seq / "poses.txt"),
               "--pattern", str(kitti_seq / "%06d.pgm"),
-              "--frames", str(FRAMES), "--out", str(out), "--cpu"])
+              "--frames", str(FRAMES), "--out", str(out), "--cpu",
+              "--plot"])
     assert r.returncode == 0, r.stderr[-3000:]
 
     # All three close_kitti_loops.py artifacts (:141-158).
@@ -84,6 +85,42 @@ def test_close_loops_runs_from_disk(kitti_seq, tmp_path):
         assert loops.shape[1] == 16
         # declared loops must respect the recency exclusion
         assert (loops[:, 0] - loops[:, 1] >= FRAMES // 4).all()
+    # --plot wrote the plot_loops.m analog figure (plot_loops.m:17-27).
+    assert os.path.getsize(out / "loops.png") > 0
+
+
+def test_plot_loops_draws_chords(tmp_path):
+    """plot_loops on a synthetic artifact pair with a KNOWN loop: the
+    fixture sequence may legitimately declare zero loops, so the chord
+    branch (plot_loops.m:22-26) gets its own deterministic input."""
+    from ekf_slam_tpu.io.poses import save_trajectory_kitti
+    from ekf_slam_tpu.viz import load_loop_artifacts, plot_loops
+
+    T = 12
+    traj = np.zeros((T, 7))
+    traj[:, 3] = 1.0                       # identity quaternion
+    traj[:, 0] = np.cos(np.linspace(0, 2 * np.pi, T))
+    traj[:, 2] = np.sin(np.linspace(0, 2 * np.pi, T))
+    tp = tmp_path / "kitti_traj.txt"
+    lp = tmp_path / "kitti_loops.txt"
+    save_trajectory_kitti(str(tp), traj)
+    with open(lp, "w") as f:
+        row = [11, 0] + list(traj[11]) + list(traj[0])
+        f.write(" ".join(str(float(v)) for v in row) + "\n")
+    n = plot_loops(str(tmp_path / "loops.png"), str(tp), str(lp))
+    assert n == 1
+    assert os.path.getsize(tmp_path / "loops.png") > 0
+
+    tr, li, lj, ri, rj = load_loop_artifacts(str(tp), str(lp))
+    np.testing.assert_allclose(tr, traj[:, 0:3], atol=1e-7)
+    assert (li[0], lj[0]) == (11, 0)
+    np.testing.assert_allclose(ri[0], traj[11, 0:3], atol=1e-7)
+
+    # Empty loops file (the reference's common case): no chords, no crash.
+    lp2 = tmp_path / "empty_loops.txt"
+    lp2.write_text("")
+    assert plot_loops(str(tmp_path / "loops2.png"), str(tp),
+                      str(lp2)) == 0
 
 
 def test_run_slam_sequence_mode_from_disk(kitti_seq, tmp_path):
