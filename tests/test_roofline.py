@@ -138,3 +138,82 @@ def test_mini_dump_fusion_labeled_as_dus():
         comps["body.1"], result_bytes, comps)
     opc = {name: o for _b, name, o in rows}
     assert opc["newP"] == "fusion:dynamic-update-slice"
+
+
+# FLOPs-side contract (VERDICT-r4 #4): dot contraction math, dense vs
+# grouped convolution bucketing, fusion-internal elementwise work, and
+# the type-prefix-with-parens operand-extraction pitfall.
+FLOPS_DUMP = """\
+HloModule flops
+
+%fused_ew (a.0: f32[8,16], b.0: f32[8,16]) -> f32[8,16] {
+  %a0 = f32[8,16]{1,0:T(8,128)} parameter(0)
+  %b0 = f32[8,16]{1,0:T(8,128)} parameter(1)
+  %m = f32[8,16]{1,0:T(8,128)} multiply(%a0, %b0)
+  ROOT %e = f32[8,16]{1,0:T(8,128)} exponential(%m)
+}
+
+%cond.f (c.0: (f32[4,6], s32[])) -> pred[] {
+  %c.0 = (f32[4,6]{1,0:T(8,128)}, s32[]) parameter(0)
+  ROOT %lt = pred[]{:T(8,128)} constant(true)
+}
+
+%body.f (c.1: (f32[4,6], s32[])) -> (f32[4,6], s32[]) {
+  %cr = (f32[4,6]{1,0:T(8,128)}, s32[]) parameter(0)
+  %A = f32[4,6]{1,0:T(8,128)} get-tuple-element(%cr), index=0
+  %i = s32[] get-tuple-element(%cr), index=1
+  %B = f32[6,5]{1,0:T(8,128)} broadcast(%A), dimensions={}
+  %D = f32[4,5]{1,0:T(8,128)} dot(%A, %B), lhs_contracting_dims={1}, rhs_contracting_dims={0}
+  %img = f32[1,10,12,4]{3,2,1,0:T(8,128)} broadcast(%A), dimensions={}
+  %ker = f32[3,3,4,8]{3,2,1,0:T(8,128)} broadcast(%A), dimensions={}
+  %cv = f32[1,10,12,8]{3,2,1,0:T(8,128)} convolution(%img, %ker), window={size=3x3 pad=1_1x1_1}, dim_labels=b01f_01io->b01f
+  %kerg = f32[3,3,1,4]{3,2,1,0:T(8,128)} broadcast(%A), dimensions={}
+  %cg = f32[1,10,12,4]{3,2,1,0:T(8,128)} convolution(%img, %kerg), window={size=3x3 pad=1_1x1_1}, dim_labels=b01f_01io->b01f, feature_group_count=4
+  %x1 = f32[8,16]{1,0:T(8,128)} broadcast(%A), dimensions={}
+  %fe = f32[8,16]{1,0:T(8,128)} fusion(%x1, %x1), kind=kLoop, calls=%fused_ew
+  %c0f = f32[] constant(0)
+  %rd = f32[4]{0:T(8,128)} reduce(%A, %c0f), dimensions={1}, to_apply=%fused_ew
+  ROOT %o = (f32[4,6]{1,0:T(8,128)}, s32[]) tuple(%A, %i)
+}
+
+ENTRY %main.f (p.0: f32[4,6]) -> (f32[4,6], s32[]) {
+  %p0 = f32[4,6]{1,0:T(8,128)} parameter(0)
+  %i0 = s32[] constant(0)
+  %in = (f32[4,6]{1,0:T(8,128)}, s32[]) tuple(%p0, %i0)
+  ROOT %w = (f32[4,6]{1,0:T(8,128)}, s32[]) while(%in), condition=%cond.f, body=%body.f
+}
+"""
+
+
+def _flops_of(dump, body):
+    comps = roofline.parse_computations(dump)
+    result_dims = {}
+    for instrs in comps.values():
+        for name, _o, _b, rhs, _rt in instrs:
+            tp, _ = roofline.split_type_opcode(rhs)
+            result_dims[name] = roofline.shape_dims(tp)
+    return roofline.computation_flops(body, comps, result_dims)
+
+
+def test_flops_buckets():
+    fl = _flops_of(FLOPS_DUMP, "body.f")
+    # dot f32[4,6] x f32[6,5]: 2*4*6*5
+    assert fl["mxu_dot"] == 2 * 4 * 6 * 5
+    # dense conv: 2 * out(1*10*12*8) * (3*3*4)
+    assert fl["mxu_conv"] == 2 * (10 * 12 * 8) * (3 * 3 * 4)
+    # grouped conv (fgc=4, kernel i-dim already per-group = 1):
+    # 2 * out(1*10*12*4) * (3*3*1)
+    assert fl["grouped_conv"] == 2 * (10 * 12 * 4) * (3 * 3 * 1)
+    # vpu: fusion body (multiply + exponential = 2 * 8*16) + reduce
+    # (input elems 4*6)
+    assert fl["vpu"] == 2 * 8 * 16 + 4 * 6
+    assert fl["nested_whiles"] == []
+
+
+def test_operand_names_skips_type_parens():
+    # The tile annotation T(8,128) contains parens BEFORE the argument
+    # list; operand extraction must not split there.
+    names = roofline._operand_names(
+        "f32[4,5]{1,0:T(8,128)} dot(%A, %B), lhs_contracting_dims={1}, "
+        "rhs_contracting_dims={0}")
+    assert names == ["A", "B"]

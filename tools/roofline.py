@@ -191,6 +191,192 @@ def computation_traffic(instrs, result_bytes_of, comps):
     return sum(r[0] for r in rows), rows
 
 
+# ---------------------------------------------------------------------------
+# FLOPs side (VERDICT-r4 #4): estimate compute per while iteration so the
+# "compute-bound" half of a verdict is arithmetic too, not folklore.
+#
+# Unlike HBM traffic, FLOPs happen INSIDE fusions, so this walks every
+# computation reachable from the body (fusion/call bodies included) and
+# buckets work by execution unit:
+#   mxu_dot       dot/einsum contractions           (systolic array)
+#   mxu_conv      dense convolutions                (systolic array)
+#   grouped_conv  feature_group_count>1 convolutions — XLA lowers these
+#                 ~100x off MXU peak on TPU (docs/BENCH.md r2k), so they
+#                 get their own bucket and their own effective ceiling
+#   vpu           everything elementwise/reduce (1 FLOP per output elem;
+#                 transcendentals are undercounted on purpose — the
+#                 verdicts only need the order of magnitude)
+# Nested `while` bodies are counted ONCE per outer iteration (their trip
+# counts are dynamic in HLO); the tool lists them so the reader can scale
+# by the known trip count (e.g. Newton-Schulz iterations) by hand.
+# ---------------------------------------------------------------------------
+
+def shape_elems(type_str):
+    """UNPADDED element count of the first shape literal (FLOPs are done
+    on logical elements; padding costs bytes, not math)."""
+    m = SHAPE_RE.search(type_str)
+    if not m:
+        return 0
+    dims_s = m.group(2)
+    dims = [int(x) for x in dims_s.split(",") if x] if dims_s else []
+    out = 1
+    for d in dims:
+        out *= d
+    return out
+
+
+def shape_dims(type_str):
+    m = SHAPE_RE.search(type_str)
+    if not m:
+        return []
+    dims_s = m.group(2)
+    return [int(x) for x in dims_s.split(",") if x] if dims_s else []
+
+
+_DIMSET_RE = {k: re.compile(k + r"=\{([\d,]*)\}") for k in
+              ("lhs_contracting_dims", "rhs_contracting_dims",
+               "lhs_batch_dims", "rhs_batch_dims")}
+_WINDOW_SIZE_RE = re.compile(r"window=\{[^}]*size=([\dx]+)")
+_FGC_RE = re.compile(r"feature_group_count=(\d+)")
+_DIM_LABELS_RE = re.compile(r"dim_labels=([\w?]+)_([\w?]+)->")
+
+ELEMWISE = {
+    "add", "subtract", "multiply", "divide", "maximum", "minimum",
+    "compare", "select", "and", "or", "xor", "not", "negate", "abs",
+    "sign", "floor", "ceil", "round-nearest-even", "round-nearest-afz",
+    "exponential", "exponential-minus-one", "log", "log-plus-one",
+    "tanh", "sqrt", "rsqrt", "cbrt", "power", "sine", "cosine", "tan",
+    "atan2", "erf", "logistic", "expm1", "log1p", "clamp", "remainder",
+    "shift-left", "shift-right-logical", "shift-right-arithmetic",
+    "is-finite", "popcnt", "clz",
+}
+NO_FLOPS = NO_TRAFFIC | {
+    "copy", "copy-start", "copy-done", "transpose", "broadcast",
+    "reshape", "concatenate", "slice", "dynamic-slice",
+    "dynamic-update-slice", "gather", "scatter", "pad", "reverse",
+    "iota", "convert", "bitcast-convert", "reduce-precision", "rng",
+    "rng-bit-generator", "rng-get-and-update-state", "all-gather",
+    "all-reduce", "reduce-scatter", "collective-permute", "send",
+    "recv", "infeed", "outfeed", "sort", "optimization-barrier",
+    "get-dimension-size", "select-and-scatter", "domain", "map",
+}
+
+def _operand_names(rhs):
+    """Operand names of an instruction RHS, in order. The type prefix can
+    itself contain parens (`T(8,128)` tiles, tuple types), so strip it
+    with the balanced-paren splitter before finding the argument list."""
+    type_part, _ = split_type_opcode(rhs)
+    tail = rhs[len(type_part):].split("(", 1)
+    if len(tail) < 2:
+        return []
+    # scan to the balanced close paren of the argument list
+    depth, buf = 1, ""
+    for c in tail[1]:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        buf += c
+    return NAME_RE.findall(buf)
+
+
+def _dot_flops(rhs, result_dims):
+    ops = _operand_names(rhs)
+    if len(ops) < 2:
+        return 0
+    lhs = result_dims.get(ops[0], [])
+    rhs_d = result_dims.get(ops[1], [])
+    rc = _DIMSET_RE["rhs_contracting_dims"].search(rhs)
+    rb = _DIMSET_RE["rhs_batch_dims"].search(rhs)
+    rc = {int(x) for x in rc.group(1).split(",") if x} if rc else set()
+    rb = {int(x) for x in rb.group(1).split(",") if x} if rb else set()
+    lhs_elems = 1
+    for d in lhs:
+        lhs_elems *= d
+    n = 1
+    for i, d in enumerate(rhs_d):
+        if i not in rc and i not in rb:
+            n *= d
+    return 2 * lhs_elems * n
+
+
+def _conv_flops(rhs, out_dims, result_dims):
+    """2 * out_elems * (kernel_elems / out_features); the HLO kernel's
+    `i` dim is already per-group, so grouping is handled implicitly."""
+    ops = _operand_names(rhs)
+    if len(ops) < 2:
+        return 0, 1
+    ker = result_dims.get(ops[1], [])
+    lm = _DIM_LABELS_RE.search(rhs)
+    out_elems = 1
+    for d in out_dims:
+        out_elems *= d
+    ker_elems = 1
+    for d in ker:
+        ker_elems *= d
+    o = 1
+    if lm and ker:
+        kl = lm.group(2)
+        if "o" in kl and len(kl) == len(ker):
+            o = ker[kl.index("o")]
+    fm = _FGC_RE.search(rhs)
+    groups = int(fm.group(1)) if fm else 1
+    return 2 * out_elems * (ker_elems // max(o, 1)), groups
+
+
+def computation_flops(comp_name, comps, result_dims, _seen_whiles=None):
+    """{bucket: flops} over `comp_name`, descending into fusion/call
+    bodies; nested whiles counted once and recorded in the 'while:*'
+    diagnostic keys."""
+    if _seen_whiles is None:
+        _seen_whiles = []
+    out = {"mxu_dot": 0, "mxu_conv": 0, "grouped_conv": 0, "vpu": 0}
+    for name, opcode, _b, rhs, _root in comps.get(comp_name, []):
+        type_part, _ = split_type_opcode(rhs)
+        out_elems = shape_elems(type_part)
+        if opcode == "dot":
+            out["mxu_dot"] += _dot_flops(rhs, result_dims)
+        elif opcode == "convolution":
+            f, groups = _conv_flops(rhs, shape_dims(type_part),
+                                    result_dims)
+            out["grouped_conv" if groups > 1 else "mxu_conv"] += f
+        elif opcode in ("fusion", "call", "async-start"):
+            cm = CALLS_RE.search(rhs)
+            if cm and cm.group(1) in comps:
+                sub = computation_flops(cm.group(1), comps, result_dims,
+                                        _seen_whiles)
+                for k in out:
+                    out[k] += sub[k]
+        elif opcode == "while":
+            bm = BODY_RE.search(rhs)
+            if bm and bm.group(1) in comps:
+                _seen_whiles.append(bm.group(1))
+                sub = computation_flops(bm.group(1), comps, result_dims,
+                                        _seen_whiles)
+                for k in out:
+                    out[k] += sub[k]
+        elif opcode == "reduce":
+            ops = _operand_names(rhs)
+            in_elems = 1
+            for d in result_dims.get(ops[0], []) if ops else []:
+                in_elems *= d
+            out["vpu"] += in_elems
+        elif opcode == "reduce-window":
+            wm = _WINDOW_SIZE_RE.search(rhs)
+            win = 1
+            if wm:
+                for x in wm.group(1).split("x"):
+                    win *= int(x)
+            out["vpu"] += out_elems * win
+        elif opcode in ELEMWISE:
+            out["vpu"] += out_elems
+        # NO_FLOPS and anything unrecognized: data movement, 0 math.
+    out["nested_whiles"] = _seen_whiles
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("dump")
@@ -202,6 +388,20 @@ def main():
     ap.add_argument("--hbm-gbps", type=float, default=819.0,
                     help="HBM bandwidth GB/s (v5e: 819)")
     ap.add_argument("--top", type=int, default=15)
+    ap.add_argument("--flops", action="store_true",
+                    help="also estimate FLOPs per step and position the "
+                         "measured rate against the MXU/VPU peaks")
+    ap.add_argument("--mxu-tflops", type=float, default=197.0,
+                    help="MXU peak TFLOP/s (v5e bf16: 197; divide by the "
+                         "pass count for emulated-precision dots: tf32=3, "
+                         "highest=6)")
+    ap.add_argument("--vpu-tflops", type=float, default=7.0,
+                    help="VPU peak TFLOP/s order-of-magnitude (v5e: 8x128 "
+                         "lanes x ~4 ALUs x ~1.7 GHz ~= 7)")
+    ap.add_argument("--grouped-eff", type=float, default=0.01,
+                    help="achievable fraction of MXU peak for grouped "
+                         "convolutions (measured ~100x off peak, "
+                         "docs/BENCH.md r2k)")
     args = ap.parse_args()
 
     text = open(args.dump).read()
@@ -251,6 +451,46 @@ def main():
           f"(read+write, padded):")
     for b, name, opcode in rows[:args.top]:
         print(f"  {b / 1e6:9.2f} MB  {opcode:<22} %{name}")
+
+    if args.flops:
+        result_dims = {}
+        for instrs in comps.values():
+            for name, _opc, _b, rhs, _root in instrs:
+                tp, _ = split_type_opcode(rhs)
+                result_dims[name] = shape_dims(tp)
+        fl = computation_flops(body_name, comps, result_dims)
+        nested = fl.pop("nested_whiles")
+        per_step_fl = {k: v / args.batch for k, v in fl.items()}
+        total = sum(per_step_fl.values())
+        print(f"\nFLOPs per SLAM step (iteration / batch {args.batch}):")
+        for k, v in sorted(per_step_fl.items(), key=lambda kv: -kv[1]):
+            print(f"  {v / 1e6:10.2f} MFLOP  {k}")
+        print(f"  {total / 1e6:10.2f} MFLOP  total")
+        if nested:
+            print(f"  note: {len(nested)} nested while bodies counted "
+                  f"ONCE each (dynamic trip counts): "
+                  f"{sorted(set(nested))[:4]}")
+        if args.steps_per_sec:
+            peaks = {"mxu_dot": args.mxu_tflops * 1e12,
+                     "mxu_conv": args.mxu_tflops * 1e12,
+                     "grouped_conv": args.mxu_tflops * 1e12 *
+                     args.grouped_eff,
+                     "vpu": args.vpu_tflops * 1e12}
+            print("achieved vs per-unit peaks at "
+                  f"{args.steps_per_sec:,.0f} steps/s:")
+            t_total = 0.0
+            for k, v in sorted(per_step_fl.items(), key=lambda kv: -kv[1]):
+                rate = v * args.steps_per_sec
+                t_unit = v / peaks[k] if peaks[k] else 0.0
+                t_total += t_unit
+                print(f"  {k:<13} {rate / 1e12:8.4f} TFLOP/s = "
+                      f"{100 * rate / peaks[k]:6.1f}% of its "
+                      f"{peaks[k] / 1e12:.2f} TFLOP/s ceiling "
+                      f"(min time {t_unit * 1e6:.1f} us/step)")
+            ceiling_c = 1.0 / t_total if t_total else float("inf")
+            print(f"  compute-bound ceiling (sum of per-unit min times): "
+                  f"{ceiling_c:,.0f} steps/s -> measured is "
+                  f"{100 * args.steps_per_sec / ceiling_c:.0f}% of it")
 
 
 if __name__ == "__main__":
