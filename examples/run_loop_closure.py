@@ -129,6 +129,14 @@ def main():
     ap.add_argument("--ckpt", default="",
                     help="trained VSS checkpoint (train.restore_checkpoint)")
     ap.add_argument("--sim-threshold", type=float, default=0.9)
+    ap.add_argument("--lc-severity", type=float, default=0.0,
+                    help="seasonal_change severity applied to the CALC2 "
+                         "retrieval input of EVERY frame with an "
+                         "independent per-frame field — the cross-season "
+                         "stress (DB view and revisit view carry "
+                         "different corruptions); the filter's tracking "
+                         "input stays clean so the stress isolates the "
+                         "retrieval stage (models/augment.py)")
     ap.add_argument("--out", default="/tmp/loop_demo")
     ap.add_argument("--json", default="")
     ap.add_argument("--cpu", action="store_true")
@@ -179,6 +187,14 @@ def main():
         return jnp.repeat(g[..., None], 3, axis=-1)   # VSS wants RGB
     to_vss = jax.jit(_to_vss)
 
+    if args.lc_severity > 0.0:
+        from ekf_slam_tpu.models.augment import seasonal_change
+
+        def _corrupt(img, key):
+            return seasonal_change(key, img[None, :, :, None],
+                                   args.lc_severity)[0, :, :, 0]
+        corrupt = jax.jit(_corrupt)
+
     render = jax.jit(frontend.render_scene_image,
                      static_argnames="cfg")
     step_sim = jax.jit(engine.step, static_argnames="cfg")
@@ -224,6 +240,9 @@ def main():
                 # (no pixels exist there).
                 src = imgs_t if args.frontend == "pixels" \
                     else render(scn, xs[t], cfg)
+                if args.lc_severity > 0.0:
+                    src = corrupt(src, jax.random.fold_in(
+                        jax.random.key(9000 + seed), t))
                 descr, kps = embed(to_vss(src))
                 if db is None:
                     db = lc.init_db(lcfg, descr.shape[0], kps.yx.shape[0],
@@ -282,6 +301,8 @@ def main():
         "frontend": args.frontend, "traj": args.traj, "frames": T,
         "ensemble": args.ensemble, "ckpt": args.ckpt,
         "vss_width": args.vss_width, "img_noise": args.img_noise,
+        "lc_severity": args.lc_severity,
+        "sim_threshold": args.sim_threshold,
         "ate_off_p50": float(np.median([r["ate_off"] for r in rows])),
         "ate_on_p50": float(np.median([r["ate_on"] for r in rows])),
         "final_off_p50": float(np.median([r["final_off"] for r in rows])),
