@@ -219,6 +219,63 @@ def main_pixels():
     }))
 
 
+def main_loop():
+    """BENCH_MODE=loop: the end-to-end loop-closure fusion gate (BASELINE
+    configs[4] — the retrieval->verify->constraint->filter link the
+    reference leaves unconsumed, close_kitti_loops.py:141-154). Runs the
+    pan-revisit experiment (examples/run_loop_closure.py, the r4
+    protocol: REAL pixels front-end, 150 frames, 4 seeds, CPU) and
+    ASSERTS the measured fusion win band (docs/CALC2_RUN.md r4: ATE p50
+    0.1271 -> 0.0949, final-pose p50 0.2999 -> 0.0319 = 9.4x) so the
+    flagship capability cannot silently regress. Gates at 2x margin,
+    same protocol as the sim-mode accuracy gates.
+
+    Env knobs: BENCH_LOOP_FRAMES/SEEDS, BENCH_LOOP_CKPT (+ implied w32
+    @96x128 — a trained checkpoint), BENCH_LOOP_SEV (cross-season
+    corruption), BENCH_LOOP_GATE=0 (report without asserting, for
+    off-band configs)."""
+    import subprocess
+    import tempfile
+    frames = int(os.environ.get("BENCH_LOOP_FRAMES", "150"))
+    seeds = int(os.environ.get("BENCH_LOOP_SEEDS", "4"))
+    # BENCH_LOOP_JSON: keep the harness summary as a committable artifact
+    # (the gate run then doubles as the experiment's evidence file).
+    out = os.environ.get("BENCH_LOOP_JSON") \
+        or os.path.join(tempfile.mkdtemp(), "loop_bench.json")
+    cmd = [sys.executable, "-u", "examples/run_loop_closure.py",
+           "--frontend", "pixels", "--traj", "pan",
+           "--frames", str(frames), "--ensemble", str(seeds),
+           "--cpu", "--json", out]
+    ckpt = os.environ.get("BENCH_LOOP_CKPT", "")
+    if ckpt:
+        cmd += ["--ckpt", ckpt, "--vss-width",
+                os.environ.get("BENCH_LOOP_W", "32"),
+                "--vss-hw", "96", "128"]
+    sev = os.environ.get("BENCH_LOOP_SEV", "")
+    if sev:
+        cmd += ["--lc-severity", sev]
+    r = subprocess.run(cmd, cwd=os.path.dirname(os.path.abspath(__file__)))
+    assert r.returncode == 0, "loop e2e harness failed"
+    with open(out) as f:
+        s = json.load(f)
+    if os.environ.get("BENCH_LOOP_GATE", "1") != "0":
+        assert s["n_loops_total"] > 0, "no loops declared — retrieval dead"
+        assert s["ate_on_p50"] <= 1.05 * s["ate_off_p50"], (
+            f"fusion HURT trajectory ATE: {s['ate_off_p50']:.4f} -> "
+            f"{s['ate_on_p50']:.4f}")
+        assert s["final_on_p50"] <= 0.5 * s["final_off_p50"], (
+            f"final-pose rescue below the 2x gate (measured 9.4x, r4): "
+            f"{s['final_off_p50']:.4f} -> {s['final_on_p50']:.4f}")
+    improvement = s["final_off_p50"] / max(s["final_on_p50"], 1e-9)
+    print(json.dumps({
+        "metric": "loop_fusion_final_pose_improvement_pan",
+        "value": round(improvement, 2),
+        "unit": "x",
+        # the gate band (2x) is the declared floor for this capability
+        "vs_baseline": round(improvement / 2.0, 3),
+    }))
+
+
 def main():
     from ekf_slam_tpu.config import RansacConfig
     cap = int(os.environ.get("BENCH_CAP", "100"))
@@ -368,7 +425,10 @@ def main():
 
 
 if __name__ == "__main__":
-    if os.environ.get("BENCH_MODE", "sim") == "pixels":
+    _mode = os.environ.get("BENCH_MODE", "sim")
+    if _mode == "pixels":
         main_pixels()
+    elif _mode == "loop":
+        main_loop()
     else:
         main()
