@@ -210,6 +210,20 @@ def test_flops_buckets():
     assert fl["nested_whiles"] == []
 
 
+def test_conv_flops_lhs_dilated_batch_matmul():
+    # The TPU backend's batched-matmul-as-convolution: lhs_dilate=B
+    # size=B stride=B-1 means ONE real tap per output, not B.
+    result_dims = {"x": [128, 8, 6], "k": [128, 6, 5]}
+    f, groups = roofline._conv_flops(
+        "f32[128,8,5]{2,1,0:T(8,128)} convolution(%x, %k), "
+        "window={size=128 stride=127 lhs_dilate=128}, "
+        "dim_labels=0bf_0io->0bf",
+        [128, 8, 5], result_dims)
+    # 2 * out(128*8*5) * i(6) — kernel spatial 128 collapses to 1 tap.
+    assert f == 2 * (128 * 8 * 5) * 6
+    assert groups == 1
+
+
 def test_operand_names_skips_type_parens():
     # The tile annotation T(8,128) contains parens BEFORE the argument
     # list; operand extraction must not split there.

@@ -237,6 +237,7 @@ _DIMSET_RE = {k: re.compile(k + r"=\{([\d,]*)\}") for k in
               ("lhs_contracting_dims", "rhs_contracting_dims",
                "lhs_batch_dims", "rhs_batch_dims")}
 _WINDOW_SIZE_RE = re.compile(r"window=\{[^}]*size=([\dx]+)")
+_LHS_DILATE_RE = re.compile(r"window=\{[^}]*lhs_dilate=([\dx]+)")
 _FGC_RE = re.compile(r"feature_group_count=(\d+)")
 _DIM_LABELS_RE = re.compile(r"dim_labels=([\w?]+)_([\w?]+)->")
 
@@ -303,8 +304,16 @@ def _dot_flops(rhs, result_dims):
 
 
 def _conv_flops(rhs, out_dims, result_dims):
-    """2 * out_elems * (kernel_elems / out_features); the HLO kernel's
-    `i` dim is already per-group, so grouping is handled implicitly."""
+    """2 * out_elems * (kernel_elems / out_features), scaled by the
+    fraction of kernel taps that land on REAL input elements. The HLO
+    kernel's `i` dim is already per-group, so grouping is handled
+    implicitly.
+
+    The tap fraction matters because the TPU backend expresses batched
+    matmuls as convolutions with `lhs_dilate=B size=B stride=B-1`
+    (dim_labels like 0bf_0io->0bf): the input is dilated B-fold with
+    zeros, so of the `size` taps per output only ceil(size/lhs_dilate)
+    touch data — counting the full window overcounts FLOPs by ~B x."""
     ops = _operand_names(rhs)
     if len(ops) < 2:
         return 0, 1
@@ -321,9 +330,20 @@ def _conv_flops(rhs, out_dims, result_dims):
         kl = lm.group(2)
         if "o" in kl and len(kl) == len(ker):
             o = ker[kl.index("o")]
+    sm = _WINDOW_SIZE_RE.search(rhs)
+    dm = _LHS_DILATE_RE.search(rhs)
+    eff = 1.0
+    if sm:
+        sizes = [int(x) for x in sm.group(1).split("x")]
+        dil = [int(x) for x in dm.group(1).split("x")] if dm else \
+            [1] * len(sizes)
+        if len(dil) < len(sizes):
+            dil += [1] * (len(sizes) - len(dil))
+        for s, d in zip(sizes, dil):
+            eff *= -(-s // d) / s        # ceil(s/d) of s taps are real
     fm = _FGC_RE.search(rhs)
     groups = int(fm.group(1)) if fm else 1
-    return 2 * out_elems * (ker_elems // max(o, 1)), groups
+    return int(2 * out_elems * (ker_elems // max(o, 1)) * eff), groups
 
 
 def computation_flops(comp_name, comps, result_dims, _seen_whiles=None):
