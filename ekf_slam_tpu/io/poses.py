@@ -34,6 +34,28 @@ def poses_to_rq(poses: np.ndarray) -> np.ndarray:
     return np.concatenate([t, q], axis=1)
 
 
+def load_loops(path: str):
+    """Parse a close_loops.py `kitti_loops.txt` into
+    ((L,) i, (L,) j, (L, 7) pose_i, (L, 7) pose_j).
+
+    Richer than the reference's rows (close_kitti_loops.py:144-150 keeps
+    only the two endpoint positions): BOTH full [r, q] poses are stored,
+    so each row can drive
+    `filter/loop_fusion.apply_loop_constraint_pose` directly — the
+    consumer side the reference never wrote. Empty file -> empty arrays.
+    """
+    if not np.fromfile(path, dtype=np.uint8).size:
+        z = np.zeros(0)
+        return (z.astype(int), z.astype(int), z.reshape(0, 7),
+                z.reshape(0, 7))
+    rows = np.loadtxt(path, dtype=np.float64)
+    if rows.ndim == 1:
+        rows = rows[None]
+    assert rows.shape[1] == 16, f"expected 16 cols, got {rows.shape[1]}"
+    return (rows[:, 0].astype(int), rows[:, 1].astype(int),
+            rows[:, 2:9], rows[:, 9:16])
+
+
 def save_trajectory_kitti(path: str, traj_rq: np.ndarray) -> None:
     """(T, >=7) [r(3) q(4) ...] -> KITTI 12-float rows."""
     import jax.numpy as jnp

@@ -15,8 +15,6 @@ it; calling the plot functions raises a clear error if absent.
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 
 CHI2_2_95 = 5.9915   # matching.m:2
@@ -244,20 +242,10 @@ def load_loop_artifacts(traj_path: str, loops_path: str):
     (L, 3) r_i, (L, 3) r_j. Returns (traj_xyz, i, j, r_i, r_j); the
     loops arrays are empty when no loops were declared.
     """
-    poses = np.loadtxt(traj_path, dtype=np.float64)
-    if poses.ndim == 1:
-        poses = poses[None]
-    traj = poses.reshape(-1, 3, 4)[:, :, 3]
-    if os.path.getsize(loops_path) == 0:
-        z = np.zeros(0)
-        return traj, z.astype(int), z.astype(int), z.reshape(0, 3), \
-            z.reshape(0, 3)
-    rows = np.loadtxt(loops_path, dtype=np.float64)
-    if rows.ndim == 1:
-        rows = rows[None]
-    assert rows.shape[1] == 16, f"expected 16 cols, got {rows.shape[1]}"
-    return (traj, rows[:, 0].astype(int), rows[:, 1].astype(int),
-            rows[:, 2:5], rows[:, 9:12])
+    from ekf_slam_tpu.io.poses import load_kitti_poses, load_loops
+    traj = load_kitti_poses(traj_path)[:, :, 3]
+    i, j, pi, pj = load_loops(loops_path)
+    return traj, i, j, pi[:, 0:3], pj[:, 0:3]
 
 
 def plot_loops(path, traj_path: str, loops_path: str):

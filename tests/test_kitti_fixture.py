@@ -123,6 +123,51 @@ def test_plot_loops_draws_chords(tmp_path):
                       str(lp2)) == 0
 
 
+def test_loops_file_feeds_loop_fusion(tmp_path):
+    """The from-disk consumer chain the reference never wrote
+    (close_kitti_loops.py:141-150 files constraints and stops): a
+    kitti_loops.txt row loaded with io.poses.load_loops drives
+    filter/loop_fusion.apply_loop_constraint_pose and pulls the state
+    toward the matched frame's stored pose."""
+    import jax
+    import jax.numpy as jnp
+
+    from ekf_slam_tpu.config import EngineConfig
+    from ekf_slam_tpu.filter import loop_fusion
+    from ekf_slam_tpu.filter.state import init_state
+    from ekf_slam_tpu.io.poses import load_loops
+
+    lp = tmp_path / "kitti_loops.txt"
+    pose_i = [0.30, 0.02, -0.10, 1.0, 0.0, 0.0, 0.0]   # drifted estimate
+    pose_j = [0.00, 0.00, 0.00, 1.0, 0.0, 0.0, 0.0]    # matched frame
+    with open(lp, "w") as f:
+        f.write(" ".join(str(float(v))
+                         for v in [9, 1] + pose_i + pose_j) + "\n")
+    i, j, pi, pj = load_loops(str(lp))
+    assert (i[0], j[0]) == (9, 1)
+
+    st = init_state(EngineConfig())
+    x = st.x.at[0:3].set(jnp.asarray(pose_i[:3], st.x.dtype))
+    # drifted filter: uncertain about its pose (init P is ~0 = certain,
+    # which would correctly zero the gain)
+    P = st.P.at[0:3, 0:3].set(0.1 * jnp.eye(3, dtype=st.P.dtype))
+    sp, sr = loop_fusion.loop_noise_sigmas(jnp.asarray(12))
+    x_new, P_new = loop_fusion.apply_loop_constraint_pose(
+        x, P, jnp.asarray(pj[0], st.x.dtype), sp, sr,
+        jnp.asarray(True))
+    assert bool(jnp.all(jnp.isfinite(x_new)))
+    assert bool(jnp.all(jnp.isfinite(P_new)))
+    # the constraint pulls the position toward pose_j
+    d0 = float(jnp.linalg.norm(x[0:3] - jnp.asarray(pj[0, 0:3])))
+    d1 = float(jnp.linalg.norm(x_new[0:3] - jnp.asarray(pj[0, 0:3])))
+    assert d1 < d0
+
+    empty = tmp_path / "empty16.txt"
+    empty.write_text("")
+    ei, _ej, _epi, epj = load_loops(str(empty))
+    assert ei.size == 0 and epj.shape == (0, 7)
+
+
 def test_run_slam_sequence_mode_from_disk(kitti_seq, tmp_path):
     out = tmp_path / "slam_out"
     r = _run(["examples/run_slam.py", "--mode", "sequence",
