@@ -170,15 +170,19 @@ def test_video_sequence_requires_ffmpeg(tmp_path):
             VideoSequence(str(tmp_path / "missing.mp4"))
 
 
-def test_coco_adapter_gated():
+def test_coco_adapter_backend_fallback():
+    """The adapter no longer hard-gates on pycocotools: without it the
+    bundled pure-Python MiniCOCO (data/coco_min.py, written from the
+    COCO/RLE spec) is selected so the gen_tfrecords analog stays
+    executable in this image."""
     import pytest
     from ekf_slam_tpu.data import coco as coco_mod
     try:
         import pycocotools  # noqa: F401
-        pytest.skip("pycocotools present; gate not exercised")
+        pytest.skip("pycocotools present; fallback not exercised")
     except ImportError:
-        with pytest.raises(ImportError, match="pycocotools"):
-            coco_mod._require_pycocotools()
+        from ekf_slam_tpu.data.coco_min import MiniCOCO
+        assert coco_mod._coco_backend() is MiniCOCO
 
 
 def test_local_descriptor_projections_and_plot(tmp_path):
