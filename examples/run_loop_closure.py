@@ -128,7 +128,19 @@ def main():
     ap.add_argument("--vss-hw", type=int, nargs=2, default=(48, 64))
     ap.add_argument("--ckpt", default="",
                     help="trained VSS checkpoint (train.restore_checkpoint)")
-    ap.add_argument("--sim-threshold", type=float, default=0.9)
+    ap.add_argument("--sim-threshold", type=float, default=0.9,
+                    help="retrieval cosine gate; 0 = AUTO-CALIBRATE per "
+                         "run: during the warmup period (db.count < "
+                         "min_db, when no genuine revisit can exist yet) "
+                         "every query's best-DB similarity is an "
+                         "impostor by construction — the gate is set to "
+                         "the max of those plus half the remaining gap "
+                         "to 1. Descriptor cosine bands are per-model "
+                         "(tools/diagnose_loop_threshold.py): a fixed "
+                         "0.9 admits every aliased view for some models "
+                         "— the reference's fixed 0.85 "
+                         "(close_kitti_loops.py:107-109) has the same "
+                         "fragility")
     ap.add_argument("--lc-severity", type=float, default=0.0,
                     help="seasonal_change severity applied to the CALC2 "
                          "retrieval input of EVERY frame with an "
@@ -207,9 +219,23 @@ def main():
 
     def run(seed: int, with_lc: bool):
         """One tracked sequence; returns (traj (T,13), loops, lc_time_s)."""
+        import dataclasses
         db = None
         loops, traj = [], []
         lc_time = 0.0
+        # --sim-threshold 0: per-run auto-calibration. For a calibration
+        # window right after warmup (when the recency exclusion first
+        # admits DB entries, but before any plausible genuine revisit),
+        # every query's best similarity samples the IMPOSTOR band of
+        # this model on this scene; the gate lands halfway between that
+        # band's max and 1, and declarations stay masked until the
+        # window closes. Assumption (as for any unsupervised novelty
+        # calibration): the first genuine revisit happens after
+        # min_db * 1.5 frames — true for both trajectories here.
+        auto = args.sim_threshold == 0.0
+        lcfg_run = lcfg
+        imp_max = -1.0
+        calib_end = lcfg.min_db + max(lcfg.min_db // 2, 8)
         if args.frontend == "sim":
             obs = jax.vmap(lambda k, x: sim_scene.observe(k, scn, x, cfg))(
                 jax.random.split(jax.random.key(1000 + seed), T), xs)
@@ -248,13 +274,28 @@ def main():
                     db = lc.init_db(lcfg, descr.shape[0], kps.yx.shape[0],
                                     kps.descr.shape[1])
                 pose = jnp.concatenate([st.x[0:3], st.x[3:7]])
-                warm = int(db.count) >= lcfg.min_db
-                res = lc.query(db, descr, kps, lcfg,
+                n_db = int(db.count)
+                warm = n_db >= lcfg.min_db
+                if auto and n_db >= calib_end and imp_max > -1.0 \
+                        and lcfg_run.sim_threshold == lcfg.sim_threshold:
+                    thr = imp_max + (1.0 - imp_max) * 0.5
+                    lcfg_run = dataclasses.replace(lcfg,
+                                                   sim_threshold=thr)
+                    print(f"  seed {seed}: auto sim_threshold {thr:.5f} "
+                          f"(impostor max {imp_max:.5f})", flush=True)
+                res = lc.query(db, descr, kps, lcfg_run,
                                jax.random.key(200 + t))
+                if auto:
+                    if warm and n_db < calib_end:
+                        s0 = float(res.similarities[0])
+                        if np.isfinite(s0):
+                            imp_max = max(imp_max, s0)
+                    # declarations stay masked until calibrated
+                    warm = warm and n_db >= calib_end
                 res = res._replace(
                     is_hypothesis=res.is_hypothesis & jnp.asarray(warm))
                 db, declared, match_slot, match_frame = lc.step_temporal(
-                    db, res, lcfg)
+                    db, res, lcfg_run)
                 if bool(declared):
                     # 6-DoF pose constraint against the matched frame's
                     # stored pose, noise scaled by verification quality.
