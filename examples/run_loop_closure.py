@@ -110,7 +110,8 @@ def build_lc_stack(args, T):
     variables = {"params": tstate.params, "batch_stats": tstate.batch_stats}
     lcfg = lc.LoopConfig(capacity=max(256, T), top_k=3,
                          exclude_recent=T // 4, min_db=T // 4,
-                         sim_threshold=args.sim_threshold, min_inliers=10,
+                         sim_threshold=args.sim_threshold,
+                         min_inliers=args.min_inliers,
                          ransac_hypotheses=16, consistency_count=3,
                          consistency_window=3)
     return model, variables, lcfg
@@ -128,6 +129,12 @@ def main():
     ap.add_argument("--vss-hw", type=int, nargs=2, default=(48, 64))
     ap.add_argument("--ckpt", default="",
                     help="trained VSS checkpoint (train.restore_checkpoint)")
+    ap.add_argument("--min-inliers", type=int, default=10,
+                    help="geometric-verify inlier gate. The keypoint "
+                         "budget is (H/16)*(W/16) c5 cells, so the gate "
+                         "should scale with the input resolution: 10/12 "
+                         "at 48x64 is strict, 10/48 at 96x128 passes by "
+                         "chance (measured, docs/CALC2_RUN.md r5)")
     ap.add_argument("--sim-threshold", type=float, default=0.9,
                     help="retrieval cosine gate; 0 = AUTO-CALIBRATE per "
                          "run: during the warmup period (db.count < "
