@@ -168,6 +168,27 @@ def test_loops_file_feeds_loop_fusion(tmp_path):
     assert ei.size == 0 and epj.shape == (0, 7)
 
 
+def test_loop_e2e_auto_threshold_calibrates(tmp_path):
+    """--sim-threshold 0 (r5): the per-run auto-calibration must set a
+    gate ABOVE the sampled impostor band and declare only genuine
+    revisits on the short pan (turn = 0.8*T frames). Fast config: sim
+    frontend, 1 seed."""
+    out = tmp_path / "auto.json"
+    r = _run(["examples/run_loop_closure.py", "--frontend", "sim",
+              "--traj", "pan", "--frames", "40", "--ensemble", "1",
+              "--sim-threshold", "0", "--cpu", "--json", str(out)])
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "auto sim_threshold" in r.stdout
+    import json as _json
+    with open(out) as f:
+        s = _json.load(f)
+    turn = int(round(40 * 360.0 / 450.0))
+    for row in s["rows"]:
+        for i, j in row["loops"]:
+            assert abs((i - j) - turn) <= 3, \
+                f"non-genuine loop {i}->{j} passed the calibrated gate"
+
+
 def test_run_slam_sequence_mode_from_disk(kitti_seq, tmp_path):
     out = tmp_path / "slam_out"
     r = _run(["examples/run_slam.py", "--mode", "sequence",
